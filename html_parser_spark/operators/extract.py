@@ -1,0 +1,188 @@
+"""Spark-side extraction operator: salted repartition + mapInPandas kernel.
+
+Input table (BASELINE.json input_hint):
+    doc_id: string,
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+Output table:
+    doc_id, spans: array<struct<kind, text, media_ref, order:int>>,
+    status ('ok'|'error'|'divergent'), error, n_spans, n_text_chars,
+    partition_id (stable hash bucket for lineage/metrics, NOT the Spark task id)
+
+Scale notes (100 TB / 1000 executors):
+- Exactly ONE JVM->Python Arrow crossing on the hot path: tokenize + tree
+  build + extraction are fused in a single mapInPandas stage (SURVEY.md §7.3).
+- Skew: mega-documents are row-atomic, so the defense is (a) salted
+  repartitioning on xxhash64(doc_id) to spread docs uniformly across tasks
+  and (b) byte-bounded Arrow batches (set
+  spark.sql.execution.arrow.maxRecordsPerBatch down for mega-doc corpora).
+  Salting is a full shuffle of the input bytes — leave salt_partitions=None
+  when the upstream layout is already uniform (e.g. sized parquet row
+  groups + AQE); pass an int when the source is skewed.
+- partition_id = pmod(xxhash64(doc_id), n_buckets) is derived from doc_id, so
+  re-runs produce identical bucket assignment -> idempotent per-partition
+  lineage commits (resume support; see sources/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.extract import ExtractOptions, process_document
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("order", IntegerType()),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("n_spans", IntegerType()),
+        StructField("n_text_chars", LongType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+INPUT_SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+INPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(INPUT_SPAN_STRUCT)),
+    ]
+)
+
+
+def _kernel_factory(options: ExtractOptions, n_buckets: int):
+    heur = None
+    if options.mode == "main":
+        from ..kernels.heuristics import extract_main_content as heur  # noqa: F811
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield _process_batch(pd, pdf, heur, n_buckets)
+
+    return kernel
+
+
+def _stable_bucket(doc_id: str, n_buckets: int) -> int:
+    # Stable across runs and Python processes (NOT hash(), which is seeded).
+    import zlib
+
+    return zlib.crc32(doc_id.encode("utf-8")) % n_buckets
+
+
+def _process_batch(pd, pdf, heur, n_buckets):
+    doc_ids = pdf["doc_id"].tolist()
+    spans_col = pdf["spans"].tolist()
+    out_spans, statuses, errors, n_spans_l, n_chars_l, part_ids = [], [], [], [], [], []
+    for doc_id, in_spans in zip(doc_ids, spans_col):
+        if in_spans is None:
+            in_spans = []
+        kinds = [s["kind"] for s in in_spans]
+        texts = [s["text"] for s in in_spans]
+        mrefs = [s["media_ref"] for s in in_spans]
+        spans, status, error, n_chars = process_document(kinds, texts, mrefs)
+        if heur is not None and status == "ok":
+            spans = heur(kinds, texts, mrefs)
+        out_spans.append(spans)
+        statuses.append(status)
+        errors.append(error)
+        n_spans_l.append(len(spans))
+        n_chars_l.append(n_chars)
+        part_ids.append(_stable_bucket(doc_id, n_buckets))
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "spans": out_spans,
+            "status": statuses,
+            "error": errors,
+            "n_spans": pd.array(n_spans_l, dtype="int32"),
+            "n_text_chars": pd.array(n_chars_l, dtype="int64"),
+            "partition_id": pd.array(part_ids, dtype="int32"),
+        }
+    )
+
+
+def extract_spans(
+    df: DataFrame,
+    options: Optional[ExtractOptions] = None,
+    salt_partitions: Optional[int] = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The flagship operator: interleaved docs -> ordered extracted spans.
+
+    salt_partitions: if set, hash-repartition on pmod(xxhash64(doc_id), P)
+    first (north_rule skew defense). n_buckets: lineage bucket count.
+    """
+    options = options or ExtractOptions()
+    missing = {"doc_id", "spans"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"extract_spans input is missing column(s) {sorted(missing)}; "
+            "expected (doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)"
+        )
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions,
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_partitions)),
+        )
+    return df.mapInPandas(_kernel_factory(options, n_buckets), schema=EXTRACT_SCHEMA)
+
+
+def exploded_spans(df_extracted: DataFrame) -> DataFrame:
+    """Flatten extraction output to one row per span (for SQL-comparable
+    query results; the pipeline itself stays explode-free)."""
+    return df_extracted.select(
+        "doc_id",
+        "status",
+        F.posexplode_outer("spans").alias("pos", "span"),
+    ).select(
+        "doc_id",
+        "status",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.order").alias("span_order"),
+    )
+
+
+def partition_metrics(df_extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage metrics (map-side combinable aggregation)."""
+    return df_extracted.groupBy("partition_id").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_spans").alias("span_count"),
+        F.sum("n_text_chars").alias("text_chars"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_count"),
+        F.sum(F.when(F.col("status") == "divergent", 1).otherwise(0)).alias(
+            "divergent_count"
+        ),
+    )
