@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup. All JVM-side
+(built-in functions only, no Python UDFs), engine-portable (md5/integer
+arithmetic), and shuffle-conscious:
+
+  - exact:     one hash-groupBy on md5(text) (map-side combinable).
+  - jaccard:   shingle-explode -> equi-join on (block, shingle). Blocked on a
+               low-cardinality column (source) so the join never goes
+               quadratic in the corpus; at 100 TB you run minhash_lsh first
+               and feed ONLY candidate pairs here.
+  - minhash:   k min-hashes from md5(seed|shingle); banded LSH buckets ->
+               candidate pairs via a bucket equi-join (the scale path:
+               shuffle is O(docs*k), candidates O(near-dups)).
+  - simhash:   32-bit sign-aggregated word-hash fingerprint; hamming-close
+               docs collide on the integer (grouped exactly here).
+  - embedding: sign-bit bucketing (16 leading dims) -> in-bucket cosine
+               verification (identical/near-identical vectors share buckets).
+
+`plant_dups` derives a corpus with deterministic exact + near duplicates from
+the driver's `documents` table so dedup outputs are non-empty and
+SQL-oracle-checkable at any sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import WORD_HASH
+
+EXACT_OFFSET = 1_000_000  # doc_id offset for planted exact copies
+NEAR_OFFSET = 2_000_000  # doc_id offset for planted near copies (last word dropped)
+MINHASH_K = 8
+LSH_ROWS_PER_BAND = 2  # 4 bands of 2 rows
+JACCARD_THRESHOLD_PERMILLE = 600
+
+
+def plant_dups(docs: DataFrame) -> DataFrame:
+    """documents -> corpus with planted duplicates:
+    every 5th doc gets an exact copy (doc_id + 1e6); every 7th a near copy
+    with the last word dropped (doc_id + 2e6). Deterministic, SQL-mirrorable.
+    """
+    base = docs.select("doc_id", "text", "source")
+    exact = (
+        docs.where(F.expr("doc_id % 5 = 0"))
+        .select((F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text", "source")
+    )
+    near = (
+        docs.where(F.expr("doc_id % 7 = 0"))
+        .select(
+            (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+            F.expr(
+                "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"
+            ).alias("text"),
+            "source",
+        )
+    )
+    return base.unionAll(exact).unionAll(near)
+
+
+def exact_groups(corpus: DataFrame) -> DataFrame:
+    """Exact dedup: (text_md5, rep_doc_id, n_copies) for duplicate groups.
+    rep = min doc_id (the canonical survivor)."""
+    return (
+        corpus.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, source, g): distinct word n-gram shingles per document."""
+    assert n == 3, "oracle SQL is written for n=3"
+    sh = (
+        "case when size(split(text,' ')) < 3 then array() "
+        "else transform(sequence(1, size(split(text,' ')) - 2), "
+        "i -> concat(split(text,' ')[i-1], ' ', split(text,' ')[i], ' ', split(text,' ')[i+1])) end"
+    )
+    return corpus.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.expr(sh))).alias("g")
+    )
+
+
+def _doc_sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+
+def jaccard_pairs(
+    corpus: DataFrame, threshold_permille: int = JACCARD_THRESHOLD_PERMILLE
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs, blocked on `source`:
+    (doc_a, doc_b, inter, union_sz, jacc_permille), jacc >= threshold.
+    Integer-exact: jacc_permille = div(1000*inter, |A|+|B|-inter)."""
+    sh = shingles(corpus)
+    sizes = _doc_sizes(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.expr("sz_a + sz_b - inter").alias("union_sz"),
+            F.expr("div(1000 * inter, sz_a + sz_b - inter)").alias("jacc_permille"),
+        )
+        .where(F.col("jacc_permille") >= threshold_permille)
+    )
+
+
+def minhash_signatures(corpus: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, i, mh): k min-hashes; mh_i = min(md5(i|'|'|shingle))."""
+    sh = shingles(corpus)
+    return (
+        sh.withColumn("i", F.explode(F.expr(f"sequence(0, {k - 1})")))
+        .groupBy("doc_id", "i")
+        .agg(F.expr("min(md5(concat(cast(i as string), '|', g)))").alias("mh"))
+    )
+
+
+def lsh_band_keys(sigs: DataFrame, rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band, key): banded signature keys; key = md5 of the band's
+    min-hashes joined in i-order."""
+    return (
+        sigs.withColumn("band", F.expr(f"div(i, {rows_per_band})"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "md5(array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|'))"
+            ).alias("key")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    threshold_permille: int = JACCARD_THRESHOLD_PERMILLE,
+) -> DataFrame:
+    """MinHash+LSH near-dup detection (the 100 TB scale path): banded bucket
+    equi-join proposes candidates, exact Jaccard verifies. Output shape equals
+    jaccard_pairs (candidates that verify)."""
+    bands = lsh_band_keys(minhash_signatures(corpus, k), rows_per_band)
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_pairs(corpus, threshold_permille)
+    return candidates.join(verified, ["doc_a", "doc_b"])
+
+
+def simhash(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over the distinct-word set.
+    bit_j = 1 iff sum over words of (+1 if bit j of h(w) else -1) > 0."""
+    h = WORD_HASH.format(w="w")
+    wd = corpus.select(
+        "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("w")
+    ).withColumn("h", F.expr(h))
+    bit_sums = (
+        wd.withColumn("j", F.explode(F.expr("sequence(0, 31)")))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.expr("sum(case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)").alias("s")
+        )
+    )
+    return bit_sums.groupBy("doc_id").agg(
+        F.expr("sum(case when s > 0 then shiftleft(1L, j) else 0L end)").alias("simhash")
+    )
+
+
+EMB_OFFSET = 100_000
+
+
+def plant_embedding_dups(embs: DataFrame) -> DataFrame:
+    """embeddings -> corpus with planted identical copies every 4th vec."""
+    return embs.select("vec_id", "embedding", "label").unionAll(
+        embs.where(F.expr("vec_id % 4 = 0")).select(
+            (F.col("vec_id") + EMB_OFFSET).alias("vec_id"), "embedding", "label"
+        )
+    )
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM2 = (
+    "aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def sign_bucket_expr(col: str, bits: int = 16) -> str:
+    """Integer bucket from the sign pattern of the first `bits` dims."""
+    return (
+        f"aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(acc, d) -> acc + case when cast({col}[d] as double) > 0.0 "
+        f"then shiftleft(1L, d) else 0L end)"
+    )
+
+
+def embedding_dups(corpus: DataFrame, min_cos: float = 0.999) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-bit bucketing:
+    (vec_a, vec_b, cos). Buckets on the 16 leading sign bits (identical
+    vectors always collide), verifies cosine inside buckets — linear shuffle,
+    no quadratic cross join. Cosine is a deterministic left-fold (bit-equal
+    across engines)."""
+    bucketed = corpus.withColumn("bucket", F.expr(sign_bucket_expr("embedding")))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    na2 = _NORM2.format(a="a.embedding")
+    nb2 = _NORM2.format(a="b.embedding")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(f"{dot} / (sqrt({na2}) * sqrt({nb2}))").alias("cos"),
+        )
+        .where(F.col("cos") >= min_cos)
+    )

@@ -1,0 +1,127 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>), JVM-side only:
+
+  - brute_force_topk: exact cosine top-k per query — the correctness
+    baseline. Cross join is bounded by the query set (broadcast the queries,
+    never the corpus), so at 100 TB the cost is corpus-linear per query.
+  - hyperplane_lsh_topk: random-hyperplane LSH (SimHash-for-vectors,
+    Charikar 2002): bucket on the sign pattern of P fixed hyperplane dot
+    products, search only the query's bucket. The scale path: candidates
+    per query shrink ~2^P-fold; the bucket join is a hash equi-join.
+
+All cosine math is a deterministic left-fold (aggregate over zip_with), so a
+DuckDB oracle using the same fold order reproduces every double BIT-EXACTLY
+(verified) — the gate compares float values without tolerance.
+
+Hyperplane components are derived from md5 (deterministic, engine-free) and
+inlined as literals on both the Spark and SQL sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 6  # 64 buckets: ~sqrt(corpus) occupancy at the test SFs
+DIM = 64
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM2 = (
+    "aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_NORM2.format(a=a)}) * sqrt({_NORM2.format(a=b)}))"
+    )
+
+
+@lru_cache(maxsize=None)
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> tuple[tuple[float, ...], ...]:
+    """Deterministic pseudo-random hyperplanes: component (j, d) =
+    ((md5("j_d") first-32-bits) mod 2001 - 1000) / 1000 — exact thousandths,
+    so the decimal literals parse to identical doubles in every engine."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(tuple(row))
+    return tuple(planes)
+
+
+def plane_sql_literal(plane: tuple[float, ...]) -> str:
+    return "array(" + ", ".join(f"cast({v!r} as double)" for v in plane) + ")"
+
+
+def lsh_bucket_expr(col: str, n_planes: int = N_PLANES, dim: int = DIM) -> str:
+    """Bucket id = sum_j (dot(v, plane_j) > 0) << j, as a single expression."""
+    terms = []
+    for j, plane in enumerate(hyperplanes(n_planes, dim)):
+        dot = _DOT.format(a=col, b=plane_sql_literal(plane))
+        terms.append(f"(case when {dot} > cast(0.0 as double) then {1 << j}L else 0L end)")
+    return " + ".join(terms)
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def brute_force_topk(embs: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, cos). Queries = vec_id <
+    n_queries; ties broken by neighbor_id. The query side is broadcast —
+    the corpus is scanned once, no shuffle of the big side before the window."""
+    q = F.broadcast(
+        embs.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    pairs = (
+        embs.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(cosine_expr("q_emb", "embedding")).alias("cos"),
+        )
+    )
+    return _ranked_topk(pairs, k)
+
+
+def hyperplane_lsh_topk(embs: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """LSH-bucketed ANN top-k, same output shape as brute_force_topk but
+    searching only the query's hyperplane bucket (recall < 1 by design)."""
+    bucketed = embs.withColumn("bucket", F.expr(lsh_bucket_expr("embedding")))
+    q = F.broadcast(
+        bucketed.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    pairs = (
+        bucketed.join(
+            q,
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(cosine_expr("q_emb", "embedding")).alias("cos"),
+        )
+    )
+    return _ranked_topk(pairs, k)

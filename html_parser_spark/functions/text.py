@@ -1,0 +1,97 @@
+"""Text-analysis functions for training-data pipelines, all JVM-side
+(built-in ``pyspark.sql.functions`` / SQL expressions inside whole-stage
+codegen — no Python UDFs):
+
+  - language ID (stopword-ratio heuristic)
+  - quality scoring (length / word-shape ratios, integer-exact)
+  - token counting (whitespace + a BPE-ish ceil(len/4) subword estimate)
+  - document fingerprinting (Rabin-Karp rolling hash over word hashes)
+
+Every function is engine-portable by construction: the arithmetic is integer
+or md5-based so an ANSI-SQL oracle (DuckDB) reproduces values exactly (see
+__spark_entry__.oracle_sql). At 100 TB these are single-pass narrow
+projections — no shuffle, full predicate/column pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared constants (mirrored literally in the SQL oracles).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+FP_BASE = 1000003
+FP_MOD = 2147483647  # 2^31 - 1: acc*B + h < 2^51, no bigint overflow
+
+# word -> 32-bit int hash, identical in Spark and DuckDB:
+#   Spark:  cast(conv(substr(md5(w),1,8),16,10) as bigint)
+#   DuckDB: CAST('0x'||substr(md5(w),1,8) AS BIGINT)
+WORD_HASH = "cast(conv(substr(md5({w}),1,8),16,10) as bigint)"
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("words", F.split(F.col(text_col), " "))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_stop, lang_pred) — stopword-ratio language ID.
+
+    lang_pred='en' iff stopword mass >= 3% of words (integer arithmetic:
+    1000*n_stop >= 30*n_words).
+    """
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return with_words(docs).select(
+        "doc_id",
+        F.expr("size(words)").alias("n_words"),
+        F.expr(f"size(filter(words, w -> array_contains({stop_arr}, w)))").alias("n_stop"),
+    ).withColumn(
+        "lang_pred",
+        F.when(F.expr("1000 * n_stop >= 30 * n_words"), F.lit("en")).otherwise(F.lit("unk")),
+    )
+
+
+def quality(docs: DataFrame) -> DataFrame:
+    """Integer-exact quality metrics per document:
+
+    n_chars, n_words, n_distinct_words, max_word_len, chars-per-word permille,
+    BPE-ish subword token count (sum of ceil(len(w)/4)), and a boolean-ish
+    quality_ok (0/1 int) gate typical of pretraining filters.
+    """
+    return with_words(docs).select(
+        "doc_id",
+        F.expr("length(text)").alias("n_chars"),
+        F.expr("size(words)").alias("n_words"),
+        F.expr("size(array_distinct(words))").alias("n_distinct_words"),
+        F.expr("aggregate(words, 0, (m, w) -> greatest(m, length(w)))").alias("max_word_len"),
+        F.expr("aggregate(words, 0L, (s, w) -> s + div(length(w) + 3, 4))").alias("n_tokens_bpe"),
+        F.expr("div(1000 * length(text), size(words))").alias("chars_per_word_permille"),
+    ).withColumn(
+        "quality_ok",
+        F.expr(
+            "cast(n_words >= 5 and n_words <= 100000 and max_word_len <= 40 "
+            "and 3 * n_distinct_words >= n_words as int)"
+        ),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace + subword estimate."""
+    return with_words(docs).select(
+        "doc_id",
+        F.expr("size(words)").alias("n_ws_tokens"),
+        F.expr("aggregate(words, 0L, (s, w) -> s + div(length(w) + 3, 4))").alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — Rabin-Karp rolling hash over the word stream:
+    acc = (acc * 1000003 + h(word)) mod (2^31-1), h = first 32 md5 bits.
+    Order-sensitive (a true rolling fingerprint, not a bag hash)."""
+    h = WORD_HASH.format(w="w")
+    return with_words(docs).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(words, w -> pmod({h}, {FP_MOD}L)), 0L, "
+            f"(acc, v) -> pmod(acc * {FP_BASE}L + v, {FP_MOD}L))"
+        ).alias("fingerprint"),
+    )
