@@ -141,6 +141,31 @@ def q_similarity_lsh(spark, sf_dir):
     return SIM.hyperplane_lsh_topk(_embs(spark, sf_dir))
 
 
+def q_diff_transform(spark, sf_dir):
+    """Pair each document with a planted old version (doc_id%3==0: last word
+    dropped) and run the reference-exact BFS positional diff. For the
+    single-text wrap the actual reference behavior has a closed form: the
+    <del> is clobbered by the <ins> (insert splice(-1) quirk), leaving
+    '<p><ins>new</ins></p>' — which the SQL oracle reconstructs."""
+    from html_parser_spark.operators.diff import diff_documents
+
+    did = F.col("doc_id").cast("string")
+    docs = _docs(spark, sf_dir)
+    df_new = docs.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("html"),
+    )
+    old_text = F.when(
+        F.expr("doc_id % 3 = 0"),
+        F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"),
+    ).otherwise(F.col("text"))
+    df_old = docs.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("<p>"), old_text, F.lit("</p>")).alias("html"),
+    )
+    return diff_documents(df_new, df_old)
+
+
 def q_multimodal_meta(spark, sf_dir):
     return media_metadata(attach_payload(_docs(spark, sf_dir)))
 
@@ -174,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
+        "diff_transform": q_diff_transform,
         "multimodal_meta": q_multimodal_meta,
         "events_hourly": q_events_hourly,
     }
@@ -478,6 +504,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, cos
             FROM r WHERE rk <= 5
+        """,
+        "diff_transform": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              CASE WHEN doc_id % 3 = 0
+                   THEN '<p><ins>' || text || '</ins></p>'
+                   ELSE '<p>' || text || '</p>' END AS diff_html,
+              'ok' AS status, CAST(NULL AS VARCHAR) AS error,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_ins,
+              CAST(0 AS INTEGER) AS n_del
+            FROM documents
         """,
         "multimodal_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

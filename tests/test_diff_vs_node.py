@@ -1,0 +1,102 @@
+"""Cross-validate the diff port (core/diff.py) against the reference
+bundle's ACTUAL behavior (transform + transformDiffPlugin), including the
+committed-spec pairs whose expectations the bundle itself contradicts
+(SURVEY.md §5.2), plus a Spark cogrouped-operator test."""
+
+from __future__ import annotations
+
+import itertools
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from html_parser_spark.core.diff import diff_pair
+from html_parser_spark.sources.fixtures import FIXTURES, OK
+
+BUNDLE = Path("/root/reference/demo/core/index.js")
+HARNESS = Path(__file__).resolve().parent.parent / "tools" / "node_diff_eval.mjs"
+
+# the four live spec cases (both directions), the demo case, and a no-tag case
+SPEC_PAIRS = [
+    ("<div><p>456789</p></div>", "<div><p>123123</p></div>"),
+    ("<div><p>123123</p></div>", "<div><p>456789</p></div>"),
+    ("<p>456789<div>123</div></p>", "<div>123123<div>123</div></div>"),
+    ("<div>123123<div>123</div></div>", "<p>456789<div>123</div></p>"),
+    ("<p>123</p>", "<div><p>123</p></div>"),
+    ("<div><p>123</p></div>", "<p>123</p>"),
+    ("<ul><li>1</li><li>2</li><li>3</li></ul>", "<ul><li>1</li><li>3</li><li>2</li></ul>"),
+    ("<ul><li>1</li><li>3</li><li>2</li></ul>", "<ul><li>1</li><li>2</li><li>3</li></ul>"),
+    ("<p>3333\n\n</p>", "<p><strong>a</strong>\n<strong>b</strong>\n1\n</p>"),
+    ("**A：**\n\n**B：**", "**A2：**\n\n**B：**"),
+]
+
+
+def _fixture_pairs():
+    oks = [
+        f[2]
+        for f in FIXTURES
+        if f[3] == OK and "deep-4000" not in f[0] and "wide" not in f[0]
+    ]
+    pairs = [(a, b) for a, b in itertools.combinations(oks[:20], 2)][:60]
+    pairs += [(a, a) for a in oks[:10]]
+    return pairs
+
+
+def test_known_actual_behaviors():
+    """Bundle-verified goldens (pinned so the suite guards them even where
+    node is unavailable). Note case 1: the <del> is clobbered by the <ins>
+    (insert splice(-1) bug) — this IS the reference's actual output."""
+    html, status, _ = diff_pair("<div><p>456789</p></div>", "<div><p>123123</p></div>")
+    assert (status, html) == ("ok", "<div><p><ins>456789</ins></p></div>")
+    # spec :35 expects "<del><div><p>123</p></div></del><ins><p>123</p></ins>"
+    # but the bundle actually produces nested ins (del clobbered, inner text
+    # re-diffed positionally) — actual behavior wins:
+    html, status, _ = diff_pair("<p>123</p>", "<div><p>123</p></div>")
+    assert (status, html) == ("ok", "<ins><p><ins>123</ins></p></ins>")
+    # identical docs -> unchanged serialization
+    html, status, _ = diff_pair("<div><p>x</p></div>", "<div><p>x</p></div>")
+    assert (status, html) == ("ok", "<div><p>x</p></div>")
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not BUNDLE.exists(),
+    reason="node or reference bundle unavailable",
+)
+def test_diff_matches_bundle():
+    pairs = SPEC_PAIRS + _fixture_pairs()
+    node_out = json.loads(
+        subprocess.run(
+            ["node", str(HARNESS)],
+            input=json.dumps(pairs),
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=120,
+        ).stdout
+    )
+    for (new_h, old_h), want in zip(pairs, node_out):
+        got_html, status, err = diff_pair(new_h, old_h)
+        if want["status"] == "ok":
+            assert status == "ok", (new_h, old_h, err)
+            assert got_html == want["html"], (new_h, old_h)
+        else:
+            assert status != "ok", (new_h, old_h, want)
+
+
+def test_spark_diff_operator(spark):
+    from html_parser_spark.operators.diff import diff_documents
+
+    new_rows = [("a", "<div><p>456789</p></div>"), ("b", "<p>same</p>"), ("c", "<p>x</p>")]
+    old_rows = [("a", "<div><p>123123</p></div>"), ("b", "<p>same</p>"), ("d", "<p>y</p>")]
+    df_new = spark.createDataFrame(new_rows, "doc_id string, html string")
+    df_old = spark.createDataFrame(old_rows, "doc_id string, html string")
+    got = {r["doc_id"]: r for r in diff_documents(df_new, df_old).collect()}
+    assert got["a"]["diff_html"] == "<div><p><ins>456789</ins></p></div>"
+    assert (got["a"]["n_ins"], got["a"]["n_del"]) == (1, 0)
+    assert got["b"]["diff_html"] == "<p>same</p>"
+    assert (got["b"]["n_ins"], got["b"]["n_del"]) == (0, 0)
+    assert got["c"]["status"] == "missing_old"
+    assert got["d"]["status"] == "missing_new"
