@@ -1,0 +1,149 @@
+"""Physical-plan audit: capture .explain('formatted') for the key queries and
+assert the plan properties the engine is designed around:
+
+  - column pruning reaches the parquet scan (ReadSchema carries only the
+    needed columns, e.g. doc_id/text/source for the extraction wrap)
+  - the extraction pipeline has at most ONE exchange (the opt-in salt)
+  - the similarity query broadcasts the query side (BroadcastHashJoin),
+    never shuffles the corpus for the join
+  - aggregations are map-side partial (partial_ + final HashAggregate)
+  - narrow text functions have NO exchange at all
+
+Writes PLANS_AUDIT.md. Exits non-zero if an assertion fails.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    checks = []  # (name, plan, [(desc, ok)])
+    failures = 0
+
+    def audit(name, df, asserts):
+        nonlocal failures
+        plan = explain_str(df)
+        results = []
+        for desc, fn in asserts:
+            ok = fn(plan)
+            results.append((desc, ok))
+            if not ok:
+                failures += 1
+        checks.append((name, plan, results))
+
+    qs = E.queries()
+
+    audit(
+        "extract_flagship",
+        qs["extract_flagship"](spark, sf_dir),
+        [
+            ("scan reads only doc_id,text,source (column pruning through the wrap)",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in p),
+            ("no exchange before the kernel (unsalted path is shuffle-free)",
+             lambda p: "Exchange" not in p),
+            # formatted explain lists each node twice (tree + details)
+            ("single Python crossing (one MapInPandas)",
+             lambda p: p.count("MapInPandas") <= 2),
+        ],
+    )
+
+    from html_parser_spark.operators.extract import extract_spans
+    from html_parser_spark.sources.interleave import interleaved_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    audit(
+        "extract_salted",
+        extract_spans(interleaved_from_documents(docs), salt_partitions=64),
+        [
+            ("exactly one exchange: the salt repartition",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1 and "xxhash64" in p),
+        ],
+    )
+
+    audit(
+        "text_fingerprint",
+        qs["text_fingerprint"](spark, sf_dir),
+        [
+            ("scan pruned to doc_id,text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+            ("no shuffle (narrow projection)", lambda p: "Exchange" not in p),
+            ("whole-stage codegen", lambda p: "codegen id" in p),
+        ],
+    )
+
+    audit(
+        "similarity_topk",
+        qs["similarity_topk"](spark, sf_dir),
+        [
+            ("query side broadcast (corpus never shuffled for the join)",
+             lambda p: "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p),
+            ("pushed filter on vec_id for the query side",
+             lambda p: "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id," in p),
+        ],
+    )
+
+    audit(
+        "extract_metrics",
+        qs["extract_metrics"](spark, sf_dir),
+        [
+            ("map-side partial aggregation before the exchange",
+             lambda p: "partial_count" in p or "Functions [partial_" in p),
+        ],
+    )
+
+    audit(
+        "events_hourly",
+        qs["events_hourly"](spark, sf_dir),
+        [
+            ("map-side partial aggregation", lambda p: "partial_" in p),
+            ("scan pruned to event_type,ts,value",
+             lambda p: "ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>" in p),
+        ],
+    )
+
+    out = ["# Physical-plan audit (tools/plan_audit.py)\n"]
+    out.append(f"sf_dir: {sf_dir}; Spark {spark.version}\n")
+    for name, plan, results in checks:
+        out.append(f"\n## {name}\n")
+        for desc, ok in results:
+            out.append(f"- {'PASS' if ok else 'FAIL'}: {desc}")
+        out.append("\n```\n" + plan.strip()[:4000] + "\n```")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_AUDIT.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    for name, _, results in checks:
+        for desc, ok in results:
+            print(f"{'PASS' if ok else 'FAIL'} {name}: {desc}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
