@@ -141,6 +141,45 @@ def q_similarity_lsh(spark, sf_dir):
     return SIM.hyperplane_lsh_topk(_embs(spark, sf_dir))
 
 
+def q_parse_nodes(spark, sf_dir):
+    """Full id/pid flat-node table for the wrapped docs (parser parity P1-P7:
+    ids in tokenization order, root=1 omitted, end tags emit no rows). The
+    wrap has a closed-form node table the SQL oracle reconstructs."""
+    from html_parser_spark.operators.parse import exploded_nodes, parse_nodes
+
+    did = F.col("doc_id").cast("string")
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    df = _docs(spark, sf_dir).select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit("<div><h1>"), title, F.lit("</h1><p>"), F.col("text"), F.lit("</p></div>")
+        ).alias("html"),
+    )
+    return exploded_nodes(parse_nodes(df))
+
+
+def q_extract_quirks(spark, sf_dir):
+    """Reference quirks, end-to-end: entities NOT decoded, comments/CDATA/
+    interpolation dropped, `]]` CDATA close, whitespace-only text kept."""
+    did = F.col("doc_id").cast("string")
+    df = _docs(spark, sf_dir).select(
+        did.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(
+                    F.lit("<p>&amp; "),
+                    F.col("text"),
+                    F.lit("</p><!-- c --><div><![CDATA[x]] </div>{{ v }}"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return exploded_spans(extract_spans(df))
+
+
 def q_diff_transform(spark, sf_dir):
     """Pair each document with a planted old version (doc_id%3==0: last word
     dropped) and run the reference-exact BFS positional diff. For the
@@ -199,6 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
+        "parse_nodes": q_parse_nodes,
+        "extract_quirks": q_extract_quirks,
         "diff_transform": q_diff_transform,
         "multimodal_meta": q_multimodal_meta,
         "events_hourly": q_events_hourly,
@@ -504,6 +545,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, cos
             FROM r WHERE rk <= 5
+        """,
+        "parse_nodes": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                     array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+              FROM documents
+            )
+            SELECT doc_id, 'ok' AS status, 2 AS node_id, 1 AS pid,
+                   'Element' AS kind, 'div' AS tag, CAST(NULL AS VARCHAR) AS content,
+                   CAST(FALSE AS BOOLEAN) AS unary FROM d
+            UNION ALL SELECT doc_id, 'ok', 3, 2, 'Element', 'h1', NULL, FALSE FROM d
+            UNION ALL SELECT doc_id, 'ok', 4, 3, 'Text', NULL, title,
+                   CAST(NULL AS BOOLEAN) FROM d
+            UNION ALL SELECT doc_id, 'ok', 5, 2, 'Element', 'p', NULL, FALSE FROM d
+            UNION ALL SELECT doc_id, 'ok', 6, 5, 'Text', NULL, text,
+                   CAST(NULL AS BOOLEAN) FROM d
+        """,
+        "extract_quirks": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)
+            SELECT doc_id, 'ok' AS status, 'text' AS kind,
+                   '&amp; ' || text AS text, CAST(NULL AS VARCHAR) AS media_ref,
+                   0 AS span_order FROM d
+            UNION ALL SELECT doc_id, 'ok', 'text', ' ', NULL, 1 FROM d
         """,
         "diff_transform": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

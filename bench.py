@@ -104,6 +104,17 @@ def main() -> None:
         "cpus": cpus,
         "amplify": amplify,
     }
+    # attach the latest two-cluster-size scaling evidence if recorded
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                s = json.load(f)
+            result["scaling_efficiency_N_to_4N"] = s["value"]
+            result["scaling_throughput_N"] = s["throughput_N_docs_per_sec"]
+            result["scaling_throughput_4N"] = s["throughput_4N_docs_per_sec"]
+        except Exception:
+            pass
     print(json.dumps(result))
 
 
