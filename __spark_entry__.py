@@ -141,6 +141,19 @@ def q_similarity_lsh(spark, sf_dir):
     return SIM.hyperplane_lsh_topk(_embs(spark, sf_dir))
 
 
+def q_transform_plugins(spark, sf_dir):
+    """Plugin pipeline (SURVEY §2 X1-X3 as span-stream rewrites): drop media,
+    cap at 3 spans, reassign dense order — closed form on the wrap."""
+    from html_parser_spark.operators.transform import (
+        drop_kind,
+        transform_spans,
+        truncate_spans,
+    )
+
+    out = extract_spans(interleaved_from_documents(_docs(spark, sf_dir)))
+    return exploded_spans(transform_spans(out, [drop_kind("media"), truncate_spans(3)]))
+
+
 def q_parse_nodes(spark, sf_dir):
     """Full id/pid flat-node table for the wrapped docs (parser parity P1-P7:
     ids in tokenization order, root=1 omitted, end tags emit no rows). The
@@ -238,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
+        "transform_plugins": q_transform_plugins,
         "parse_nodes": q_parse_nodes,
         "extract_quirks": q_extract_quirks,
         "diff_transform": q_diff_transform,
@@ -545,6 +559,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, cos
             FROM r WHERE rk <= 5
+        """,
+        "transform_plugins": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                     array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+              FROM documents
+            )
+            SELECT doc_id, 'ok' AS status, 'text' AS kind, title AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref, 0 AS span_order FROM d
+            UNION ALL SELECT doc_id, 'ok', 'text', text, NULL, 1 FROM d
+            UNION ALL SELECT doc_id, 'ok', 'text', text, NULL, 2 FROM d
         """,
         "parse_nodes": """
             WITH d AS (

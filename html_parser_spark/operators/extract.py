@@ -13,7 +13,8 @@ Scale notes (100 TB / 1000 executors):
 - Exactly ONE JVM->Python Arrow crossing on the hot path: tokenize + tree
   build + extraction are fused in a single mapInPandas stage (SURVEY.md §7.3).
 - Skew: mega-documents are row-atomic, so the defense is (a) salted
-  repartitioning on xxhash64(doc_id) to spread docs uniformly across tasks
+  repartitioning on the raw xxhash64(doc_id) to spread docs uniformly across
+  tasks
   and (b) byte-bounded Arrow batches (set
   spark.sql.execution.arrow.maxRecordsPerBatch down for mega-doc corpora).
   Salting is a full shuffle of the input bytes — leave salt_partitions=None
@@ -140,8 +141,8 @@ def extract_spans(
 ) -> DataFrame:
     """The flagship operator: interleaved docs -> ordered extracted spans.
 
-    salt_partitions: if set, hash-repartition on pmod(xxhash64(doc_id), P)
-    first (north_rule skew defense). n_buckets: lineage bucket count.
+    salt_partitions: if set, hash-repartition on xxhash64(doc_id) first
+    (north_rule skew defense). n_buckets: lineage bucket count.
     """
     options = options or ExtractOptions()
     missing = {"doc_id", "spans"} - set(df.columns)
@@ -151,10 +152,11 @@ def extract_spans(
             "expected (doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)"
         )
     if salt_partitions:
-        df = df.repartition(
-            salt_partitions,
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_partitions)),
-        )
+        # full-entropy salt: repartition hashes the expression again, so
+        # wrapping in pmod(.., P) would collapse to P distinct values and
+        # leave ~1/e of the partitions empty (verified) — hash the raw
+        # 64-bit doc hash instead
+        df = df.repartition(salt_partitions, F.xxhash64(F.col("doc_id")))
     return df.mapInPandas(_kernel_factory(options, n_buckets), schema=EXTRACT_SCHEMA)
 
 

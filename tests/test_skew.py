@@ -1,0 +1,82 @@
+"""Mega-document skew (SURVEY §5.3 item 4): a handful of multi-hundred-KB
+docs among thousands of small ones must (a) extract correctly and (b) spread
+uniformly under salted repartitioning — never concentrate in one task."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_parser_spark.core import oracle
+from html_parser_spark.operators.extract import INPUT_SCHEMA, extract_spans
+from html_parser_spark.sources.fixtures import synth_docs
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    docs = list(synth_docs(2000, seed=99, mega_doc_rate=0.0))
+    mega = list(synth_docs(3, seed=7, mega_doc_rate=1.0, mega_doc_words=60_000))
+    docs += [(f"mega-{d}", sp) for d, sp in mega]
+    rows = [
+        (d, [dict(kind=k, text=t, media_ref=m, offset=o) for k, t, m, o in sp])
+        for d, sp in docs
+    ]
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    return docs, df
+
+
+def test_mega_docs_extract_correctly(skewed):
+    docs, df = skewed
+    out = extract_spans(df, salt_partitions=16)
+    got = {r["doc_id"]: r for r in out.where(F.col("doc_id").startswith("mega-")).collect()}
+    assert len(got) == 3
+    by_id = dict(docs)
+    for doc_id, row in got.items():
+        triples = [(k, t, m) for (k, t, m, _o) in by_id[doc_id]]
+        want_spans, want_status, _ = oracle.process_document(triples)
+        assert row["status"] == want_status == "ok"
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
+        ]
+        assert got_spans == want_spans
+        assert row["n_spans"] > 1000  # genuinely mega
+
+
+def test_salting_spreads_docs_uniformly(skewed):
+    _, df = skewed
+    # skew the INPUT layout: everything in one partition, then salt
+    out = extract_spans(df.coalesce(1), salt_partitions=16)
+    dist = (
+        out.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in dist]
+    assert len(counts) >= 12  # salting actually fanned out of the single slab
+    assert max(counts) < 2.5 * (sum(counts) / len(counts))
+
+
+def test_arrow_batch_cap_bounds_kernel_memory(spark, skewed):
+    """maxRecordsPerBatch keeps mega-doc batches small: with a cap of 8, no
+    Arrow batch hands the kernel more than 8 docs at once."""
+    _, df = skewed
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        def probe(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame({"batch_rows": pd.array([len(pdf)], dtype="int32")})
+
+        sizes = (
+            df.mapInPandas(probe, StructType([StructField("batch_rows", IntegerType())]))
+            .agg(F.max("batch_rows"))
+            .collect()[0][0]
+        )
+        assert sizes <= 8
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
