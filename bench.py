@@ -65,7 +65,9 @@ def main() -> None:
             "text",
             "source",
         )
-    docs = docs.cache()
+    # spread the amplified corpus before caching: the crossJoin inherits the
+    # single-file scan's partitioning, which would starve the kernel stage
+    docs = docs.repartition(cpus * 4).cache()
     n_docs = docs.count()
     total_bytes = docs.agg(F.sum(F.length("text"))).collect()[0][0] or 0
 
