@@ -373,6 +373,27 @@ def _sign_bucket_d(col: str, bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+def _minhash_select_d(k: int) -> str:
+    """Mirror of functions/dedup.minhash_signatures: linear-permutation
+    MinHash mins as one aggregation (identical int64 arithmetic)."""
+    p = DD.MINHASH_P
+    cols = [
+        f"MIN(({a} * (g % {p}) + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(DD.minhash_params(k))
+    ]
+    return ",\n                     ".join(cols)
+
+
+def _bands_union_d(k: int, rows_per_band: int) -> str:
+    parts = []
+    for band in range(k // rows_per_band):
+        cols = " || '|' || ".join(
+            f"CAST(mh{band * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        parts.append(f"SELECT doc_id, {band} AS band, md5({cols}) AS key FROM mhw")
+    return "\n              UNION ALL ".join(parts)
+
+
 _WORD_HASH_D = "CAST('0x' || substr(md5({w}), 1, 8) AS BIGINT)"
 
 _STOP_LIST_D = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS) + "]"
@@ -423,24 +444,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": f"""
             WITH {_JACCARD_CTES.strip().lstrip(',').strip()},
-            mh AS (
-              SELECT doc_id, i,
-                     MIN(md5(CAST(i AS VARCHAR) || '|' || CAST(g AS VARCHAR))) AS mh
-              FROM sh CROSS JOIN range({k}) t(i) GROUP BY doc_id, i
+            mhw AS (
+              SELECT doc_id, {_minhash_select_d(k)}
+              FROM sh GROUP BY doc_id
             ),
             bands AS (
-              SELECT doc_id, i // {r} AS band,
-                     md5(string_agg(mh, '|' ORDER BY i)) AS key
-              FROM mh GROUP BY doc_id, i // {r}
+              {_bands_union_d(k, r)}
             ),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            -- candidate-restricted GLOBAL verification (no source blocking:
+            -- LSH finds genuine cross-source dups the blocked join misses)
+            vinter AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+              GROUP BY c.doc_a, c.doc_b
             )
-            SELECT j.doc_a, j.doc_b, j.inter, j.union_sz, j.jacc_permille
-            FROM cand c JOIN jpairs j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-            WHERE j.jacc_permille >= {thr}
+            SELECT v.doc_a, v.doc_b, v.inter,
+                   sa.sz + sb.sz - v.inter AS union_sz,
+                   (1000 * v.inter) // (sa.sz + sb.sz - v.inter) AS jacc_permille
+            FROM vinter v
+            JOIN sizes sa ON sa.doc_id = v.doc_a
+            JOIN sizes sb ON sb.doc_id = v.doc_b
+            WHERE (1000 * v.inter) // (sa.sz + sb.sz - v.inter) >= {thr}
         """,
         "dedup_simhash": f"""
             WITH wd AS (

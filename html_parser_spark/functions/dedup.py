@@ -78,12 +78,24 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     1e5-shingle docs). The SQL oracle applies the identical hash, so results
     stay exactly comparable."""
     assert n == 3, "oracle SQL is written for n=3"
-    sh = (
-        "case when size(split(text,' ')) < 3 then array() "
-        "else transform(sequence(1, size(split(text,' ')) - 2), "
-        "i -> concat(split(text,' ')[i-1], ' ', split(text,' ')[i], ' ', split(text,' ')[i+1])) end"
+    # zip_with over shifted slices, NOT transform(sequence, i -> w[i]):
+    # indexing the split inside a lambda re-evaluates the split PER ELEMENT
+    # (O(words^2) per doc — measured 10x slower); zip_with arguments are
+    # evaluated once per row. Out-of-range zip positions pad null, concat
+    # propagates null, filter drops them -> exactly size-2 trigrams.
+    w = "split(text, ' ')"
+    bigrams = (
+        f"zip_with({w}, slice({w}, 2, greatest(size({w}) - 1, 0)), "
+        "(x, y) -> concat(x, ' ', y))"
     )
-    hashed = f"array_distinct(transform({sh}, g -> cast(conv(substr(md5(g),1,15),16,10) as bigint)))"
+    trigrams = (
+        f"filter(zip_with({bigrams}, slice({w}, 3, greatest(size({w}) - 2, 0)), "
+        "(xy, z) -> concat(xy, ' ', z)), s -> s is not null)"
+    )
+    hashed = (
+        f"array_distinct(transform({trigrams}, "
+        "g -> cast(conv(substr(md5(g),1,15),16,10) as bigint)))"
+    )
     return corpus.select("doc_id", "source", F.explode(F.expr(hashed)).alias("g"))
 
 
@@ -97,6 +109,10 @@ def jaccard_pairs(
     """N-gram Jaccard near-dup pairs, blocked on `source`:
     (doc_a, doc_b, inter, union_sz, jacc_permille), jacc >= threshold.
     Integer-exact: jacc_permille = div(1000*inter, |A|+|B|-inter).
+
+    Blocking bounds the all-pairs join but MISSES cross-block duplicates —
+    use minhash_lsh_pairs (global, candidate-bounded) as the primary dedup
+    path; this operator is the exact-within-block reference.
 
     The shingle set feeds three consumers (two join sides + sizes), so it is
     persisted for the duration of the computation."""
@@ -129,31 +145,54 @@ def jaccard_pairs(
     )
 
 
+MINHASH_P = 2147483647  # 2^31-1: a*(g%P)+b < 2^62, no int64 overflow
+
+
+def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the linear-permutation MinHash family
+    h_i(g) = (a_i * (g mod P) + b_i) mod P — derived from md5 so Spark and
+    the SQL oracle embed identical literals."""
+    import hashlib
+
+    params = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures_from(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Wide signature from an existing shingle table (doc_id, g)."""
+    aggs = [
+        F.expr(f"min(pmod({a}L * pmod(g, {MINHASH_P}L) + {b}L, {MINHASH_P}L))").alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(corpus: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, i, mh): k min-hashes; mh_i = min(md5(i|'|'|hashed-shingle))."""
-    sh = shingles(corpus)
-    return (
-        sh.withColumn("i", F.explode(F.expr(f"sequence(0, {k - 1})")))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.expr("min(md5(concat(cast(i as string), '|', cast(g as string))))").alias(
-                "mh"
-            )
-        )
-    )
+    """(doc_id, mh0..mh{k-1}): all k min-hashes in ONE aggregation pass —
+    pure int64 arithmetic (no explode, no string hashing): ~8x less shuffle
+    input than the explode-per-permutation formulation."""
+    return minhash_signatures_from(shingles(corpus), k)
 
 
-def lsh_band_keys(sigs: DataFrame, rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
-    """(doc_id, band, key): banded signature keys; key = md5 of the band's
-    min-hashes joined in i-order."""
-    return (
-        sigs.withColumn("band", F.expr(f"div(i, {rows_per_band})"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "md5(array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|'))"
-            ).alias("key")
-        )
+def lsh_band_keys(
+    sigs: DataFrame, k: int = MINHASH_K, rows_per_band: int = LSH_ROWS_PER_BAND
+) -> DataFrame:
+    """(doc_id, band, key): banded signature keys from the wide signature;
+    key = md5 of the band's min-hashes joined in order."""
+    n_bands = k // rows_per_band
+    cells = []
+    for band in range(n_bands):
+        cols = ", ".join(f"mh{band * rows_per_band + r}" for r in range(rows_per_band))
+        cells.append(f"{band}, md5(concat_ws('|', {cols}))")
+    return sigs.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {', '.join(cells)}) as (band, key)"),
     )
 
 
@@ -164,9 +203,15 @@ def minhash_lsh_pairs(
     threshold_permille: int = JACCARD_THRESHOLD_PERMILLE,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection (the 100 TB scale path): banded bucket
-    equi-join proposes candidates, exact Jaccard verifies. Output shape equals
-    jaccard_pairs (candidates that verify)."""
-    bands = lsh_band_keys(minhash_signatures(corpus, k), rows_per_band)
+    equi-join proposes candidates, exact Jaccard verifies — restricted to the
+    candidates, never all pairs. Output shape equals jaccard_pairs.
+
+    Unlike jaccard_pairs this is GLOBAL (no source blocking): LSH's cost is
+    already bounded by the banding, and blocking misses genuine cross-block
+    duplicates (the driver's documents table contains planted near-dups
+    across sources — verified: LSH finds them, blocked Jaccard cannot)."""
+    sh = shingles(corpus).persist()
+    bands = lsh_band_keys(minhash_signatures_from(sh, k), k, rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -178,8 +223,32 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = jaccard_pairs(corpus, threshold_permille)
-    return candidates.join(verified, ["doc_a", "doc_b"])
+    # verification restricted to CANDIDATES (the whole point of LSH): join the
+    # shingle sets only for proposed pairs — cost O(candidates x shingles),
+    # never the all-pairs blow-up of jaccard_pairs
+    sizes = _doc_sizes(sh)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.expr("sz_a + sz_b - inter").alias("union_sz"),
+            F.expr("div(1000 * inter, sz_a + sz_b - inter)").alias("jacc_permille"),
+        )
+        .where(F.col("jacc_permille") >= threshold_permille)
+    )
 
 
 def simhash(corpus: DataFrame) -> DataFrame:
