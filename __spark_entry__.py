@@ -218,6 +218,10 @@ def q_diff_transform(spark, sf_dir):
     return diff_documents(df_new, df_old)
 
 
+def q_similarity_ivf(spark, sf_dir):
+    return SIM.ivf_topk(_embs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark, sf_dir):
     return media_metadata(attach_payload(_docs(spark, sf_dir)))
 
@@ -251,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
+        "similarity_ivf_topk": q_similarity_ivf,
         "transform_plugins": q_transform_plugins,
         "parse_nodes": q_parse_nodes,
         "extract_quirks": q_extract_quirks,
@@ -634,6 +639,42 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_ins,
               CAST(0 AS INTEGER) AS n_del
             FROM documents
+        """,
+        "similarity_ivf_topk": f"""
+            WITH cents AS (
+              SELECT vec_id AS cent_id, embedding AS cent_emb
+              FROM embeddings WHERE vec_id < {SIM.N_IVF_CELLS}
+            ),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.cent_id,
+                     {_cos_d('e.embedding', 'c.cent_emb')} AS cent_cos
+              FROM embeddings e, cents c
+            ),
+            assigned AS (
+              SELECT vec_id, embedding, cent_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cent_cos DESC, cent_id) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell
+              FROM assigned WHERE vec_id < 10
+            ),
+            p AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     {_cos_d('q.q_emb', 'e.embedding')} AS cos
+              FROM assigned e, q
+              WHERE e.cell = q.q_cell AND e.vec_id <> q.query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rk
+              FROM p
+            )
+            SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, cos
+            FROM r WHERE rk <= 5
         """,
         "multimodal_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

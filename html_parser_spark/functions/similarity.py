@@ -102,6 +102,59 @@ def brute_force_topk(embs: DataFrame, n_queries: int = 10, k: int = 5) -> DataFr
     return _ranked_topk(pairs, k)
 
 
+N_IVF_CELLS = 16
+
+
+def ivf_assign(embs: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids: the first
+    n_cells vectors (vec_id < n_cells) act as centroids (a k-means seeding
+    step stands in for trained centroids — deterministic and oracle-exact);
+    every vector is assigned to its max-cosine centroid (ties -> lowest
+    centroid id). Adds a `cell` column."""
+    cents = F.broadcast(
+        embs.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    return (
+        embs.join(cents)
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.expr(cosine_expr("embedding", "cent_emb")).alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embs: DataFrame, n_queries: int = 10, k: int = 5, n_cells: int = N_IVF_CELLS
+) -> DataFrame:
+    """IVF ANN top-k: search only the query's cell (nprobe=1). The inverted
+    lists bound candidate count to ~corpus/n_cells per query — the
+    clustered-index scale path next to the hyperplane-LSH one."""
+    assigned = ivf_assign(embs, n_cells)
+    q = F.broadcast(
+        assigned.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell").alias("q_cell"),
+        )
+    )
+    pairs = assigned.join(
+        q, (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(cosine_expr("q_emb", "embedding")).alias("cos"),
+    )
+    return _ranked_topk(pairs, k)
+
+
 def hyperplane_lsh_topk(embs: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """LSH-bucketed ANN top-k, same output shape as brute_force_topk but
     searching only the query's hyperplane bucket (recall < 1 by design)."""

@@ -1,0 +1,51 @@
+"""Stateful streaming dedup (applyInPandasWithState): first-seen-only across
+micro-batches AND across restarts (state persisted in the checkpoint)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql.types import StringType, StructField, StructType
+
+from html_parser_spark.streaming.stateful import dedup_stream
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", StringType()), StructField("text", StringType())]
+)
+
+
+def _run_once(spark, input_dir, out_dir, ckpt):
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_first_seen_only_across_batches_and_restarts(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [("d1", "alpha"), ("d2", "beta"), ("d3", "alpha")]  # d3 dups d1
+    spark.createDataFrame(batch1, DOC_SCHEMA).write.mode("append").parquet(input_dir)
+    _run_once(spark, input_dir, out_dir, ckpt)
+
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(got1) == {"d1", "d2"}  # one survivor per key
+    assert got1["d1"]["n_dupes_in_batch"] == 2
+
+    # second micro-batch (fresh files): old keys suppressed by state
+    time.sleep(1.1)  # distinct mtime so the file source sees new files
+    batch2 = [("d4", "alpha"), ("d5", "gamma")]
+    spark.createDataFrame(batch2, DOC_SCHEMA).write.mode("append").parquet(input_dir)
+    _run_once(spark, input_dir, out_dir, ckpt)
+
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {"d1", "d2", "d5"}  # d4 (dup of alpha) suppressed
