@@ -94,11 +94,44 @@ def q_generate_roundtrip(spark, sf_dir):
 
 
 def q_extract_main(spark, sf_dir):
+    """Heuristics branch on the standard wrap. Closed form: the h1 title
+    (3 words >= MIN_BLOCK_WORDS, zero link density) and body paragraphs are
+    all content blocks, media is adjacent to content — so the output equals
+    the strict extraction here, and the SAME recon oracle applies. The
+    boilerplate-dropping behavior is gated by extract_main_boilerplate."""
     out = extract_spans(
         interleaved_from_documents(_docs(spark, sf_dir)),
         options=ExtractOptions(mode="main"),
     )
     return exploded_spans(out)
+
+
+def q_extract_main_boilerplate(spark, sf_dir):
+    """Boilerplate strip, oracle-checked: nav + footer + link-farm sidebar
+    wrap the body; main-content extraction must emit ONLY the body text."""
+    did = F.col("doc_id").cast("string")
+    df = _docs(spark, sf_dir).select(
+        did.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(
+                    F.lit(
+                        '<div class="page"><nav><a href=h>home link</a>'
+                        "<a href=a>about link</a></nav><p>"
+                    ),
+                    F.col("text"),
+                    F.lit(
+                        '</p><div class="sidebar"><a href=x>promo one</a></div>'
+                        "<footer><p>site footer boilerplate words</p></footer></div>"
+                    ),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return exploded_spans(extract_spans(df, options=ExtractOptions(mode="main")))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -243,7 +276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_flagship": q_extract_flagship,
         "extract_errors": q_extract_errors,
         "extract_metrics": q_extract_metrics,
-        "extract_main": q_extract_main,  # heuristic branch: rows-only check
+        "extract_main": q_extract_main,
+        "extract_main_boilerplate": q_extract_main_boilerplate,
         "generate_roundtrip": q_generate_roundtrip,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -428,6 +462,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT kind, COUNT(*) AS n_spans,
                    CAST(SUM(coalesce(length(text), 0)) AS BIGINT) AS total_chars
             FROM recon GROUP BY kind
+        """,
+        "extract_main": _RECON
+        + "SELECT doc_id, status, kind, text, media_ref, span_order FROM recon",
+        "extract_main_boilerplate": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'ok' AS status,
+                   'text' AS kind, text,
+                   CAST(NULL AS VARCHAR) AS media_ref, 0 AS span_order
+            FROM documents
         """,
         "generate_roundtrip": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
