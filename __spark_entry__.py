@@ -25,7 +25,12 @@ from first principles, so the Spark kernels are verified end-to-end:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the package lives next to this file; make imports robust to the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
