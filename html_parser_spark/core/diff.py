@@ -13,9 +13,16 @@ Semantics preserved exactly:
   - parentMap keyed by node id; both trees' ids start at 1 (the parser
     resets the counter per parse), so parentMap[oldNode.id] resolves "the
     NEW node with the same numeric id" (transformDiff.ts:31-35).
-  - Wrapper ids continue the global counter from after the LAST parse
-    (CONFIG.idx semantics): pass idx_start = max id in the old tree + 1
-    when the old document was parsed second.
+  - Wrapper ids continue a global counter (CONFIG.idx). IMPORTANT: the
+    reference has TWO behaviors here. The TS SOURCE shares one CONFIG with
+    the parser, so after the canonical invocation (parse old, parse new,
+    transform — as the jest suite does) wrappers continue from
+    max_id(new_tree) + 1; that is THIS ENGINE's deterministic contract
+    (diff_pair). The DEMO BUNDLE however carries an esbuild-duplicated
+    CONFIG in transform/index.js (starts at 1, never reset), making its
+    output depend on every prior transform call in the process — validation
+    against the bundle therefore runs one pair per fresh process with
+    idx_start=1 (tools/node_diff_single.mjs; tests/test_diff_fuzz_vs_node.py).
   - Text nodes compared by content; Elements by tagName (equal tags get
     diffAttributes annotation only — not serialized); Comment / CDATA /
     Interpolation are never compared ("no modify" branch).
@@ -98,7 +105,11 @@ def transform_diff(
         if anchor is not None:
             if container is None:
                 raise DiffTypeError()  # JS: undefined.children -> TypeError
-            children = container["children"]
+            children = container.get("children")
+            if children is None:
+                # container is a leaf (Text etc.): JS container.children is
+                # undefined -> undefined.findIndex throws TypeError
+                raise DiffTypeError()
             i = next((k for k, c in enumerate(children) if c is anchor), -1)
             if i == -1:
                 # splice(-1, 1, node): replaces the LAST element

@@ -65,23 +65,39 @@ def test_known_actual_behaviors():
     shutil.which("node") is None or not BUNDLE.exists(),
     reason="node or reference bundle unavailable",
 )
-def test_diff_matches_bundle():
-    pairs = SPEC_PAIRS + _fixture_pairs()
-    node_out = json.loads(
-        subprocess.run(
-            ["node", str(HARNESS)],
-            input=json.dumps(pairs),
+def test_diff_matches_fresh_bundle():
+    """Per-pair fresh-process bundle comparison (the bundle's esbuild-
+    duplicated CONFIG makes batch runs call-history-dependent — see
+    tests/test_diff_fuzz_vs_node.py docstring). The port runs with
+    idx_start=1 to mirror the fresh counter."""
+    from html_parser_spark.core import oracle
+    from html_parser_spark.core.diff import (
+        DiffTypeError,
+        generate_iter,
+        transform_diff,
+    )
+
+    single = HARNESS.parent / "node_diff_single.mjs"
+    pairs = SPEC_PAIRS + _fixture_pairs()[:25]
+    for new_h, old_h in pairs:
+        proc = subprocess.run(
+            ["node", str(single), json.dumps([new_h, old_h])],
             capture_output=True,
             text=True,
-            check=True,
-            timeout=120,
-        ).stdout
-    )
-    for (new_h, old_h), want in zip(pairs, node_out):
-        got_html, status, err = diff_pair(new_h, old_h)
+            timeout=20,
+        )
+        assert proc.returncode == 0, proc.stderr[:300]
+        want = json.loads(proc.stdout)
+        old_root = oracle.parse_html(old_h)
+        new_root = oracle.parse_html(new_h)
+        try:
+            transform_diff(new_root, old_root, idx_start=1)
+            got, status = generate_iter(new_root), "ok"
+        except DiffTypeError:
+            got, status = None, "throw"
         if want["status"] == "ok":
-            assert status == "ok", (new_h, old_h, err)
-            assert got_html == want["html"], (new_h, old_h)
+            assert status == "ok", (new_h, old_h)
+            assert got == want["html"], (new_h, old_h)
         else:
             assert status != "ok", (new_h, old_h, want)
 
