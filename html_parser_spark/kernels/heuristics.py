@@ -24,10 +24,13 @@ Pipeline per text span:
   3. block segmentation: text accumulates into the nearest enclosing
      BLOCK_TAGS element (div/p/td/li/h1..h6/...);
   4. block classification: a block is content iff
-        link_density <= MAX_LINK_DENSITY  and  n_words >= MIN_BLOCK_WORDS,
-     where link_density = words under <a> / words, with a one-block
-     neighbourhood rescue (short blocks between two content blocks are kept —
-     Boilerpipe's 'surrounded' rule);
+        link_density <= MAX_LINK_DENSITY  and  n_words >= MIN_BLOCK_WORDS
+        and text_density >= MIN_TEXT_DENSITY,
+     where link_density = words under <a> / words and text_density =
+     words / (1 + inline tags opened inside the block) — low text density
+     flags markup-soup blocks (tag-cluttered navigation/widgets) even when
+     they carry no links; a one-block neighbourhood rescue keeps short blocks
+     between two content blocks (Boilerpipe's 'surrounded' rule);
   5. media spans inside kept blocks are kept; input-level media spans always
      pass through (they are outside any HTML).
 """
@@ -66,6 +69,7 @@ POSITIVE_RE = re.compile(
 
 MAX_LINK_DENSITY = 0.333
 MIN_BLOCK_WORDS = 3
+MIN_TEXT_DENSITY = 2.0  # words per (1 + inline tag): below = markup soup
 
 
 def _class_id_signal(attrs: list[tuple[str, Optional[str]]]) -> int:
@@ -95,14 +99,14 @@ def extract_main_spans(
     # --- scored walk -------------------------------------------------------
     # Stack entries: (tag, dropped: bool, protected: bool)
     # Blocks: list of dicts {spans: [(kind,text,mref)], words, link_words}
-    blocks: list[dict[str, Any]] = [{"spans": [], "words": 0, "link_words": 0}]
+    blocks: list[dict[str, Any]] = [{"spans": [], "words": 0, "link_words": 0, "tags": 0}]
     stack: list[tuple[Any, bool, bool]] = []
     drop_depth = 0  # >0 while inside a dropped subtree
     link_depth = 0  # >0 while inside <a>
 
     def open_block() -> None:
         if blocks[-1]["spans"] or blocks[-1]["words"]:
-            blocks.append({"spans": [], "words": 0, "link_words": 0})
+            blocks.append({"spans": [], "words": 0, "link_words": 0, "tags": 0})
 
     for i, t in enumerate(types):
         if t == _T_TEXT:
@@ -147,6 +151,8 @@ def extract_main_spans(
                     link_depth += 1
                 if low in BLOCK_TAGS:
                     open_block()
+                else:
+                    blocks[-1]["tags"] += 1  # inline tag inside the block
                 if payloads[i] is not None:  # media open tag (img etc. unslashed
                     blocks[-1]["spans"].append(("media", None, payloads[i]))
         else:  # _T_END — tokenizer guarantees tag match was validated upstream
@@ -172,7 +178,12 @@ def extract_main_spans(
         if not b["words"]:
             continue
         ld = b["link_words"] / b["words"]
-        is_content[i] = ld <= MAX_LINK_DENSITY and b["words"] >= MIN_BLOCK_WORDS
+        td = b["words"] / (1 + b["tags"])
+        is_content[i] = (
+            ld <= MAX_LINK_DENSITY
+            and b["words"] >= MIN_BLOCK_WORDS
+            and td >= MIN_TEXT_DENSITY
+        )
     # neighbourhood rescue: short low-link block between two content blocks
     for i, b in enumerate(blocks):
         if is_content[i] or not b["words"]:

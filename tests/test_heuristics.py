@@ -69,6 +69,16 @@ def test_positive_class_protects_subtree():
     assert any("protected" in t for t in texts(spans))
 
 
+def test_low_text_density_markup_soup_dropped():
+    spans, _, _ = extract_main_spans(
+        "<div><p><b>w1</b> <b>w2</b> <b>w3</b> <b>w4</b></p>"
+        "<p>a genuinely long sentence with <b>one</b> inline tag kept</p></div>"
+    )
+    joined = " ".join(texts(spans))
+    assert "genuinely long sentence" in joined  # density 9/2 >= 2 kept
+    assert "w1" not in joined  # density 4/5 < 2: tag soup dropped
+
+
 def test_surrounded_short_block_rescued():
     spans, _, _ = extract_main_spans(
         "<div><p>first long content paragraph with many plain words</p>"
