@@ -94,10 +94,13 @@ def _kernel_factory(options: ExtractOptions, n_buckets: int):
     return kernel
 
 
-def _stable_bucket(doc_id: str, n_buckets: int) -> int:
+def _stable_bucket(doc_id: Optional[str], n_buckets: int) -> int:
     # Stable across runs and Python processes (NOT hash(), which is seeded).
+    # Null doc_ids (dirty upstream data) deterministically land in bucket 0.
     import zlib
 
+    if doc_id is None:
+        return 0
     return zlib.crc32(doc_id.encode("utf-8")) % n_buckets
 
 
