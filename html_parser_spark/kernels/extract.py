@@ -194,6 +194,15 @@ def extract_doc_spans(
 ) -> tuple[list[tuple[str, Optional[str], Optional[str]]], str, Optional[str]]:
     """Extract the ordered (kind, text, media_ref) span sequence of one HTML
     string. Never raises, never hangs. Fast path for tag-free payloads.
+
+    Fused single-pass variant of (_tokenize_arrays + parent-stack walk): the
+    token arrays are never materialized on this hot path. Error precedence is
+    preserved exactly (the reference tokenizes the WHOLE source before tree
+    building, htmlParser.ts:26-33): a tokenizer throw/hang anywhere must win
+    over an earlier tag mismatch, so on a tree error the scan CONTINUES
+    (collecting nothing) until EOF or a tokenizer failure. Equality with the
+    two-pass semantics is pinned by tests/test_kernel_vs_oracle.py and the
+    hypothesis + node-bundle fuzz suites.
     """
     # Fast path: no markup metacharacters at all -> single text token.
     # ('/' excluded so the position-1 not_data_mode quirk can't fire,
@@ -201,31 +210,92 @@ def extract_doc_spans(
     if html and not any(c in html for c in "<>{/"):
         return [("text", html, None)], STATUS_OK, None
 
+    spans: list[tuple[str, Optional[str], Optional[str]]] = []
+    stack: list[Any] = []
+    tree_error = False  # first tag mismatch; finalized only at EOF
+    s = html
+    n = len(s)
+    pos = 0
+    element_match = ELEMENT_RE.match
+    text_match = TEXT_RE.match
+    starts = s.startswith
+    find = s.find
+
     try:
-        types, tags, payloads, _ = _tokenize_arrays(html, want_attrs=False)
+        while pos < n:
+            c0 = s[pos]
+            if c0 == "<":
+                if starts("<![CDATA[", pos):
+                    m = CDATA_RE.match(s, pos)
+                    if m is None:
+                        raise _Fail(STATUS_ERROR, E_CDATA_UNCLOSED)
+                    pos = m.end()
+                    continue
+                c1 = s[pos + 1] if pos + 1 < n else None
+                if c1 == "!":
+                    if starts("<!--", pos):
+                        close = find("-->", pos + 4)
+                        pos = close + 3 if close >= 0 else n
+                        continue
+                    raise _Fail(STATUS_DIVERGENT, E_DIVERGENT)
+                if c1 is None or ("a" <= c1 <= "z") or ("A" <= c1 <= "Z"):
+                    m = element_match(s, pos)
+                    if m is None or m.group(2) is None:
+                        raise _Fail(STATUS_DIVERGENT, E_DIVERGENT)
+                    tag = m.group(2)
+                    if m.group(4):  # self-closing
+                        if tag not in UNARY_TAGS:
+                            raise _Fail(STATUS_ERROR, E_ILLEGAL_SELF_CLOSE)
+                        if not tree_error and tag in MEDIA_TAGS:
+                            spans.append(("media", None, _first_src_attr(m.group(3))))
+                    elif not tree_error:
+                        if tag in MEDIA_TAGS:
+                            spans.append(("media", None, _first_src_attr(m.group(3))))
+                        stack.append(tag)
+                    pos = m.end()
+                    continue
+                if c1 == "/":
+                    m = element_match(s, pos)
+                    if m is None:
+                        raise _Fail(STATUS_DIVERGENT, E_DIVERGENT)
+                    if not tree_error:
+                        g1 = m.group(1)
+                        if g1 is None or not stack or stack[-1] != g1:
+                            tree_error = True  # keep scanning for tokenizer errors
+                        else:
+                            stack.pop()
+                    pos = m.end()
+                    continue
+                raise _Fail(STATUS_DIVERGENT, E_DIVERGENT)
+            if pos + 1 < n and s[pos + 1] == "/":
+                raise _Fail(STATUS_ERROR, E_NOT_DATA_MODE)
+            if c0 == "{" and pos + 1 < n and s[pos + 1] == "{":
+                m = INTERP_RE.match(s, pos)
+                if m is None:
+                    raise _Fail(STATUS_ERROR, E_INTERP_UNCLOSED)
+                pos = m.end()
+                continue
+            m = text_match(s, pos)
+            content = m.group(0)
+            if not content:
+                raise _Fail(STATUS_DIVERGENT, E_DIVERGENT)
+            if not tree_error:
+                spans.append(("text", content, None))
+            pos = m.end()
     except _Fail as f:
         return [], f.status, f.error
 
-    # pass 2: parent-stack walk (the flat-array tree build; SURVEY.md §2.1 P2)
-    spans: list[tuple[str, Optional[str], Optional[str]]] = []
-    stack: list[Any] = []
-    for i, t in enumerate(types):
-        if t == _T_TEXT:
-            spans.append(("text", payloads[i], None))
-        elif t == _T_OPEN:
-            tag = tags[i]
-            if tag in MEDIA_TAGS:
-                spans.append(("media", None, payloads[i]))
-            stack.append(tag)
-        elif t == _T_VOID:
-            if tags[i] in MEDIA_TAGS:
-                spans.append(("media", None, payloads[i]))
-        else:  # _T_END (htmlParser.ts:82-94)
-            if not stack or stack[-1] != tags[i]:
-                return [], STATUS_ERROR, E_TAG_MISMATCH
-            stack.pop()
+    if tree_error:
+        return [], STATUS_ERROR, E_TAG_MISMATCH
     # unclosed elements at EOF are silently kept (htmlParser.ts:108-119)
     return spans, STATUS_OK, None
+
+
+def _first_src_attr(attrs_str: str) -> Optional[str]:
+    for am in ATTR_RE.finditer(attrs_str):
+        if am.group(1) == "src":
+            return am.group(2) or am.group(3) or am.group(4)
+    return None
 
 
 def process_document(
