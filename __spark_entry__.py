@@ -19,8 +19,11 @@ from first principles, so the Spark kernels are verified end-to-end:
                        in Spark and DuckDB (verified), no tolerance needed.
   - multimodal_meta  : binary-column metadata kernel (mapInPandas).
   - events_hourly    : time-windowed rollup (batch form of the streaming agg).
-  - extract_main     : boilerplate-strip heuristics branch (no SQL oracle —
-                       heuristic semantics; rows-only check).
+  - events_sessionize: gap-based sessionization (window functions: lag +
+                       running sum; 30-min inactivity gap).
+  - extract_main     : boilerplate-strip heuristics branch; the wrap's
+                       main-content output has a closed form, so it IS
+                       oracle-checked (as is extract_main_boilerplate).
 """
 
 from __future__ import annotations
@@ -276,6 +279,44 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a session ends after 30 min of inactivity.
+
+    Standard training-pipeline op (the reference has no aggregation at all —
+    SURVEY.md §2.2 — so this is pipeline capability, not parity). Scale
+    posture: ONE shuffle on user_id for the two stacked window functions
+    (lag + running sum share the frame) and the session groupBy reuses the
+    same partitioning, so Catalyst plans a single Exchange. Second-precision
+    epoch arithmetic keeps both engines integer-exact.
+    """
+    from pyspark.sql import Window
+
+    # ts is TIMESTAMP_NTZ: interpret the wall-clock as UTC (same convention
+    # as DuckDB's epoch()) so both engines compute identical integer seconds
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("tsec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gap = F.col("tsec") - F.lag("tsec").over(w)
+    mark = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(mark).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("tsec").alias("start_epoch"),
+        F.expr("cast(max(tsec) - min(tsec) as bigint)").alias("duration_secs"),
+        F.expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)").alias(
+            "value_cents"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_flagship": q_extract_flagship,
@@ -301,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_transform": q_diff_transform,
         "multimodal_meta": q_multimodal_meta,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -740,5 +782,31 @@ def oracle_sql() -> dict[str, str]:
                      AS value_cents
             FROM events GROUP BY 1, 2
         """,
-        # extract_main: intentionally no oracle (heuristic branch) -> rows-only
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+              FROM events
+            ), m AS (
+              SELECT *,
+                     CASE WHEN lag(tsec) OVER w IS NULL
+                               OR tsec - lag(tsec) OVER w > 1800
+                          THEN 1 ELSE 0 END AS mark
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+            ), s AS (
+              SELECT *,
+                     CAST(SUM(mark) OVER (PARTITION BY user_id
+                                          ORDER BY tsec, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS INT)
+                       AS session_seq
+              FROM m
+            )
+            SELECT user_id, session_seq,
+                   COUNT(*) AS n_events,
+                   CAST(MIN(tsec) AS BIGINT) AS start_epoch,
+                   CAST(MAX(tsec) - MIN(tsec) AS BIGINT) AS duration_secs,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM s GROUP BY 1, 2
+        """,
     }

@@ -68,7 +68,7 @@ spark.stop()
     # bursty external load, and interleaving keeps a noise epoch from
     # penalizing only one cluster size.
     results = {}
-    for round_i in range(2):
+    for round_i in range(3):
         for label, cores in (("N", args.n), ("4N", 4 * args.n)):
             r = sh(
                 [
