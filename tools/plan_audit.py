@@ -129,6 +129,19 @@ def main() -> int:
         ],
     )
 
+    audit(
+        "events_sessionize",
+        qs["events_sessionize"](spark, sf_dir),
+        [
+            ("single exchange: lag + running-sum windows and the session "
+             "groupBy all reuse the user_id hash partitioning",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+             and "hashpartitioning(user_id" in p),
+            ("scan pruned to the four needed columns",
+             lambda p: "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,value:double>" in p),
+        ],
+    )
+
     out = ["# Physical-plan audit (tools/plan_audit.py)\n"]
     out.append(f"sf_dir: {sf_dir}; Spark {spark.version}\n")
     for name, plan, results in checks:
