@@ -5,7 +5,7 @@ Spark-first (not a port; reference semantics pinned via an executable oracle).
 Public surface:
 
   operators.extract.extract_spans      fused tokenize->tree->extract kernel
-                                       (mapInPandas; salted repartition opt-in)
+                                       (mapInArrow; salted repartition opt-in)
   operators.extract.exploded_spans     one-row-per-span view
   operators.serialize.serialize_html   reference-quirk-exact HTML generate
   operators.diff.diff_documents        BFS positional pair diff (cogrouped)

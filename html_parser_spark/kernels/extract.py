@@ -1,6 +1,6 @@
 """Vectorized extraction kernel: batched tokenize -> parent-stack span build.
 
-This is the hot path that runs inside ``mapInPandas`` (one invocation per
+This is the hot path that runs inside ``mapInArrow`` (one invocation per
 Arrow batch). Per document it makes exactly two array passes:
 
   pass 1 — tokenize: one left-to-right scan producing flat, columnar token
@@ -296,6 +296,43 @@ def _first_src_attr(attrs_str: str) -> Optional[str]:
         if am.group(1) == "src":
             return am.group(2) or am.group(3) or am.group(4)
     return None
+
+
+def process_document_flat(
+    kinds: list[str],
+    texts: list[Optional[str]],
+    media_refs: list[Optional[str]],
+    out_kinds: list[str],
+    out_texts: list[Optional[str]],
+    out_mrefs: list[Optional[str]],
+) -> tuple[int, str, Optional[str], int]:
+    """process_document, columnar form: append this document's extracted
+    spans to the shared flat output lists (per-span order is the position
+    within the document, i.e. 0..n-1 — the caller reconstructs it from the
+    returned count). Returns (n_spans, status, error, n_text_chars).
+
+    Same semantics as process_document (pinned by test_kernel_vs_oracle):
+    on the first failing text span, earlier appended spans are KEPT and the
+    status reflects the failure.
+    """
+    n0 = len(out_kinds)
+    n_chars = 0
+    for kind, text, mref in zip(kinds, texts, media_refs):
+        if kind == "media":
+            out_kinds.append("media")
+            out_texts.append(None)
+            out_mrefs.append(mref)
+            continue
+        spans, status, error = extract_doc_spans(text if text is not None else "")
+        if status != STATUS_OK:
+            return len(out_kinds) - n0, status, error, n_chars
+        for k, t, mr in spans:
+            out_kinds.append(k)
+            out_texts.append(t)
+            out_mrefs.append(mr)
+            if t is not None:
+                n_chars += len(t)
+    return len(out_kinds) - n0, STATUS_OK, None, n_chars
 
 
 def process_document(

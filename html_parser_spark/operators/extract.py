@@ -1,4 +1,4 @@
-"""Spark-side extraction operator: salted repartition + mapInPandas kernel.
+"""Spark-side extraction operator: salted repartition + mapInArrow kernel.
 
 Input table (BASELINE.json input_hint):
     doc_id: string,
@@ -11,7 +11,9 @@ Output table:
 
 Scale notes (100 TB / 1000 executors):
 - Exactly ONE JVM->Python Arrow crossing on the hot path: tokenize + tree
-  build + extraction are fused in a single mapInPandas stage (SURVEY.md §7.3).
+  build + extraction are fused in a single mapInArrow stage (SURVEY.md §7.3);
+  the crossing moves flat Arrow child arrays, never per-span Python dicts
+  (the pandas crossing is kept as a tested fallback, use_arrow=False).
 - Skew: mega-documents are row-atomic, so the defense is (a) salted
   repartitioning on the raw xxhash64(doc_id) to spread docs uniformly across
   tasks
@@ -94,6 +96,135 @@ def _kernel_factory(options: ExtractOptions, n_buckets: int):
     return kernel
 
 
+def _arrow_span_schema(pa):
+    return pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field(
+                "spans",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field("kind", pa.string()),
+                            pa.field("text", pa.string()),
+                            pa.field("media_ref", pa.string()),
+                            pa.field("order", pa.int32()),
+                        ]
+                    )
+                ),
+            ),
+            pa.field("status", pa.string()),
+            pa.field("error", pa.string()),
+            pa.field("n_spans", pa.int32()),
+            pa.field("n_text_chars", pa.int64()),
+            pa.field("partition_id", pa.int32()),
+        ]
+    )
+
+
+def _arrow_kernel_factory(options: ExtractOptions, n_buckets: int):
+    heur = None
+    if options.mode == "main":
+        from ..kernels.heuristics import extract_main_content as heur  # noqa: F811
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        schema = _arrow_span_schema(pa)
+        for batch in batches:
+            yield _process_arrow_batch(pa, batch, heur, n_buckets, schema)
+
+    return kernel
+
+
+def _process_arrow_batch(pa, batch, heur, n_buckets, schema):
+    """One Arrow batch through the kernel WITHOUT materializing per-span
+    Python dicts on either side of the JVM<->Python crossing: the input
+    list<struct> column is decomposed into its flat child arrays (one C
+    pass per column), per-document slices are cut by the list offsets, and
+    the output list<struct> is rebuilt from flat arrays + offsets. This
+    roughly halves crossing overhead vs the pandas path (measured in
+    BASELINE.md); the pandas kernel (_process_batch) remains the semantic
+    twin and both are pinned to the same oracle by test_spark_extract."""
+    from ..kernels.extract import process_document_flat
+
+    idx_doc = batch.schema.get_field_index("doc_id")
+    idx_spans = batch.schema.get_field_index("spans")
+    doc_arr = batch.column(idx_doc)
+    if doc_arr.type != pa.string():
+        doc_arr = doc_arr.cast(pa.string())
+    spans_arr = batch.column(idx_spans)
+    n = batch.num_rows
+    doc_ids = doc_arr.to_pylist()
+
+    if n:
+        offs = spans_arr.offsets.to_pylist()  # absolute into the child arrays
+        vals = spans_arr.values
+        fidx = {f.name: i for i, f in enumerate(spans_arr.type.value_type)}
+        kinds_f = vals.field(fidx["kind"]).to_pylist()
+        texts_f = vals.field(fidx["text"]).to_pylist()
+        mrefs_f = vals.field(fidx["media_ref"]).to_pylist()
+        nulls = spans_arr.is_null().to_pylist() if spans_arr.null_count else None
+    else:
+        offs, kinds_f, texts_f, mrefs_f, nulls = [0], [], [], [], None
+
+    out_kinds: list = []
+    out_texts: list = []
+    out_mrefs: list = []
+    out_orders: list = []
+    out_offsets = [0]
+    statuses, errors, n_spans_l, n_chars_l, part_ids = [], [], [], [], []
+    for i in range(n):
+        if nulls is not None and nulls[i]:
+            a = b = 0  # null spans column == no input spans (dirty upstream)
+        else:
+            a, b = offs[i], offs[i + 1]
+        n_sp, status, error, n_chars = process_document_flat(
+            kinds_f[a:b], texts_f[a:b], mrefs_f[a:b], out_kinds, out_texts, out_mrefs
+        )
+        if heur is not None and status == "ok":
+            # heuristic branch: replace this doc's strict spans
+            del out_kinds[len(out_kinds) - n_sp :]
+            del out_texts[len(out_texts) - n_sp :]
+            del out_mrefs[len(out_mrefs) - n_sp :]
+            hs = heur(kinds_f[a:b], texts_f[a:b], mrefs_f[a:b])
+            for s in hs:
+                out_kinds.append(s["kind"])
+                out_texts.append(s["text"])
+                out_mrefs.append(s["media_ref"])
+            n_sp = len(hs)
+        out_orders.extend(range(n_sp))
+        out_offsets.append(out_offsets[-1] + n_sp)
+        statuses.append(status)
+        errors.append(error)
+        n_spans_l.append(n_sp)
+        n_chars_l.append(n_chars)
+        part_ids.append(_stable_bucket(doc_ids[i], n_buckets))
+
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(out_kinds, pa.string()),
+            pa.array(out_texts, pa.string()),
+            pa.array(out_mrefs, pa.string()),
+            pa.array(out_orders, pa.int32()),
+        ],
+        fields=list(schema.field("spans").type.value_type),
+    )
+    spans_out = pa.ListArray.from_arrays(pa.array(out_offsets, pa.int32()), span_struct)
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_arr,
+            spans_out,
+            pa.array(statuses, pa.string()),
+            pa.array(errors, pa.string()),
+            pa.array(n_spans_l, pa.int32()),
+            pa.array(n_chars_l, pa.int64()),
+            pa.array(part_ids, pa.int32()),
+        ],
+        schema=schema,
+    )
+
+
 def _stable_bucket(doc_id: Optional[str], n_buckets: int) -> int:
     # Stable across runs and Python processes (NOT hash(), which is seeded).
     # Null doc_ids (dirty upstream data) deterministically land in bucket 0.
@@ -141,11 +272,15 @@ def extract_spans(
     options: Optional[ExtractOptions] = None,
     salt_partitions: Optional[int] = None,
     n_buckets: int = 1024,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """The flagship operator: interleaved docs -> ordered extracted spans.
 
     salt_partitions: if set, hash-repartition on xxhash64(doc_id) first
     (north_rule skew defense). n_buckets: lineage bucket count.
+    use_arrow: mapInArrow crossing (default — avoids per-span dict
+    materialization on both sides); False selects the pandas crossing
+    (semantic twin, kept for comparison and as a fallback).
     """
     options = options or ExtractOptions()
     missing = {"doc_id", "spans"} - set(df.columns)
@@ -160,6 +295,8 @@ def extract_spans(
         # leave ~1/e of the partitions empty (verified) — hash the raw
         # 64-bit doc hash instead
         df = df.repartition(salt_partitions, F.xxhash64(F.col("doc_id")))
+    if use_arrow:
+        return df.mapInArrow(_arrow_kernel_factory(options, n_buckets), schema=EXTRACT_SCHEMA)
     return df.mapInPandas(_kernel_factory(options, n_buckets), schema=EXTRACT_SCHEMA)
 
 

@@ -5,7 +5,7 @@ so this is engine capability beyond parity: continuous extraction over an
 arriving interleaved-doc feed.
 
   readStream(parquet dir, INPUT_SCHEMA)
-    -> the SAME fused mapInPandas kernel (stateless: per-doc extraction
+    -> the SAME fused mapInArrow kernel (stateless: per-doc extraction
        needs no cross-batch state, so it streams unchanged)
     -> writeStream parquet + checkpointLocation (exactly-once file sink)
 

@@ -77,6 +77,36 @@ def test_partition_metrics_totals(extracted):
     assert agg[1] > 0 and agg[2] > 0
 
 
+def test_arrow_and_pandas_crossings_are_twins(spark):
+    """extract_spans(use_arrow=True|False) must be bit-identical — including
+    on dirty upstream rows (null doc_id / null spans / empty spans / null
+    span text) and in heuristics mode."""
+    from html_parser_spark.kernels.extract import ExtractOptions
+
+    docs = _to_rows(synth_docs(150, seed=23, mega_doc_rate=0.02))
+    docs += [
+        (None, [{"kind": "text", "text": "<p>x</p>", "media_ref": None, "offset": 0}]),
+        ("nullspans", None),
+        ("emptyspans", []),
+        ("nulltext", [{"kind": "text", "text": None, "media_ref": None, "offset": 0}]),
+        ("nullmedia", [{"kind": "media", "text": None, "media_ref": None, "offset": 0}]),
+    ]
+    df = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+
+    def key(r):
+        return (
+            r["doc_id"], r["status"], r["error"], r["n_spans"],
+            r["n_text_chars"], r["partition_id"],
+            tuple((s["kind"], s["text"], s["media_ref"], s["order"]) for s in (r["spans"] or [])),
+        )
+
+    for opts in (None, ExtractOptions(mode="main")):
+        for salt in (None, 8):
+            a = sorted((key(r) for r in extract_spans(df, options=opts, salt_partitions=salt, use_arrow=True).collect()), key=str)
+            p = sorted((key(r) for r in extract_spans(df, options=opts, salt_partitions=salt, use_arrow=False).collect()), key=str)
+            assert a == p
+
+
 def test_partition_id_stable_across_runs(spark, extracted):
     docs, out = extracted
     first = {r["doc_id"]: r["partition_id"] for r in out.select("doc_id", "partition_id").collect()}

@@ -70,8 +70,8 @@ def main() -> int:
             ("no exchange before the kernel (unsalted path is shuffle-free)",
              lambda p: "Exchange" not in p),
             # formatted explain lists each node twice (tree + details)
-            ("single Python crossing (one MapInPandas)",
-             lambda p: p.count("MapInPandas") <= 2),
+            ("single Python crossing (one MapInArrow, no pandas round-trip)",
+             lambda p: p.count("MapInArrow") <= 2 and "MapInPandas" not in p),
         ],
     )
 
