@@ -107,3 +107,35 @@ def test_parse_nodes_roundtrip_document_order(html):
     if status == "ok":
         ids = [n["id"] for n in nodes]
         assert ids == sorted(ids) and len(set(ids)) == len(ids), repr(html)
+
+
+# interleaved-document generator: a mix of media spans (possibly null refs)
+# and text spans of adversarial soup / structured HTML
+_in_span = st.one_of(
+    st.tuples(st.just("media"), st.none(), st.one_of(st.none(), st.text(max_size=8))),
+    st.tuples(st.just("text"), st.one_of(st.none(), soup, html_doc()), st.none()),
+)
+_in_doc = st.lists(_in_span, min_size=0, max_size=5)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_in_doc)
+def test_flat_kernel_equals_dict_kernel(spans):
+    """process_document_flat (the mapInArrow crossing's form) must agree with
+    process_document (the pandas crossing's form) on arbitrary interleaved
+    documents: same spans in the same order, same status/error/char count."""
+    from html_parser_spark.kernels.extract import process_document, process_document_flat
+
+    kinds = [k for k, _, _ in spans]
+    texts = [t for _, t, _ in spans]
+    mrefs = [m for _, _, m in spans]
+    want_spans, want_status, want_error, want_chars = process_document(kinds, texts, mrefs)
+    fk, ft, fm = [], [], []
+    n_sp, status, error, n_chars = process_document_flat(kinds, texts, mrefs, fk, ft, fm)
+    assert (status, error, n_chars) == (want_status, want_error, want_chars)
+    assert n_sp == len(want_spans) == len(fk)
+    got = [
+        {"kind": k, "text": t, "media_ref": m, "order": i}
+        for i, (k, t, m) in enumerate(zip(fk, ft, fm))
+    ]
+    assert got == want_spans
