@@ -10,7 +10,7 @@ Env:
   SPARK_GRAFT_CPUS     local[N]           (default 32)
   SPARK_GRAFT_AMPLIFY  corpus replication (default 400; 0/1 = no amplification)
 
-The headline measures the fused tokenize->tree->extract mapInPandas kernel
+The headline measures the fused tokenize->tree->extract mapInArrow kernel
 over the interleaved corpus derived from `documents`, amplified K-fold
 (doc_id-disjoint copies) so the kernel dominates over session/scan overhead:
 at the default 2M docs the measured pass runs ~7 s, where throughput is

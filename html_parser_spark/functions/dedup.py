@@ -11,8 +11,9 @@ arithmetic), and shuffle-conscious:
   - minhash:   k min-hashes from md5(seed|shingle); banded LSH buckets ->
                candidate pairs via a bucket equi-join (the scale path:
                shuffle is O(docs*k), candidates O(near-dups)).
-  - simhash:   32-bit sign-aggregated word-hash fingerprint; hamming-close
-               docs collide on the integer (grouped exactly here).
+  - simhash:   32-bit sign-aggregated word-hash fingerprint computed in ONE
+               per-doc fold (shuffle-free narrow projection); hamming-close
+               docs collide on the integer.
   - embedding: sign-bit bucketing (16 leading dims) -> in-bucket cosine
                verification (identical/near-identical vectors share buckets).
 
@@ -23,10 +24,35 @@ SQL-oracle-checkable at any sf.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import WORD_HASH
+
+
+def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie `cached`'s lifetime to `result`: when the returned DataFrame is
+    garbage-collected, drop the cached intermediate from the cache manager.
+
+    The pair functions persist their shingle table (it feeds 3-4 consumers in
+    one plan) but return lazily, so they cannot unpersist after the action
+    themselves. Without cleanup, repeated calls in a long-lived session/driver
+    loop accumulate cached tables. A weakref finalizer gives deterministic
+    release in loops (each iteration drops the previous result) without
+    forcing eager evaluation inside a lazy API. Callers that want immediate
+    release can simply `del` the result (or let it fall out of scope)."""
+    jdf = cached._jdf
+
+    def _cleanup(jdf=jdf):
+        try:  # session may already be stopped at interpreter shutdown
+            jdf.unpersist(False)
+        except Exception:
+            pass
+
+    weakref.finalize(result, _cleanup)
+    return result
 
 EXACT_OFFSET = 1_000_000  # doc_id offset for planted exact copies
 NEAR_OFFSET = 2_000_000  # doc_id offset for planted near copies (last word dropped)
@@ -115,7 +141,8 @@ def jaccard_pairs(
     path; this operator is the exact-within-block reference.
 
     The shingle set feeds three consumers (two join sides + sizes), so it is
-    persisted for the duration of the computation."""
+    persisted for the duration of the computation and released when the
+    returned DataFrame is garbage-collected (_unpersist_with)."""
     sh = shingles(corpus).persist()
     sizes = _doc_sizes(sh)
     a, b = sh.alias("a"), sh.alias("b")
@@ -131,7 +158,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    result = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -143,6 +170,7 @@ def jaccard_pairs(
         )
         .where(F.col("jacc_permille") >= threshold_permille)
     )
+    return _unpersist_with(result, sh)
 
 
 MINHASH_P = 2147483647  # 2^31-1: a*(g%P)+b < 2^62, no int64 overflow
@@ -237,7 +265,7 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    result = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -249,24 +277,39 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jacc_permille") >= threshold_permille)
     )
+    return _unpersist_with(result, sh)
 
 
 def simhash(corpus: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over the distinct-word set.
-    bit_j = 1 iff sum over words of (+1 if bit j of h(w) else -1) > 0."""
+    bit_j = 1 iff sum over words of (+1 if bit j of h(w) else -1) > 0.
+
+    Shuffle-free shape: ALL 32 bit-sums accumulate in ONE per-doc fold (a
+    32-element int-array accumulator over the hashed distinct words), then
+    bits pack in the fold's finish lambda — a narrow whole-row projection
+    like `fingerprint`, no explode, no groupBy, no Exchange. (The previous
+    formulation exploded docs x words x 32 rows through two wide shuffles —
+    correct, but the wrong shape for a 100 TB corpus.) Each word is hashed
+    once (transform before the fold); sequence(0,31) inside the step lambda
+    is a constant 32-element build per step, not the per-element
+    re-evaluation trap (that trap is indexing an expression-built ARRAY
+    inside a lambda, e.g. split(text)[i])."""
     h = WORD_HASH.format(w="w")
-    wd = corpus.select(
-        "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("w")
-    ).withColumn("h", F.expr(h))
-    bit_sums = (
-        wd.withColumn("j", F.explode(F.expr("sequence(0, 31)")))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.expr("sum(case when (shiftright(h, j) & 1) = 1 then 1 else -1 end)").alias("s")
-        )
+    hashes = f"transform(array_distinct(split(text, ' ')), w -> {h})"
+    step = (
+        "(acc, hv) -> zip_with(acc, sequence(0, 31), "
+        "(a, j) -> a + case when (shiftright(hv, j) & 1) = 1 then 1 else -1 end)"
     )
-    return bit_sums.groupBy("doc_id").agg(
-        F.expr("sum(case when s > 0 then shiftleft(1L, j) else 0L end)").alias("simhash")
+    finish = (
+        "acc -> aggregate(zip_with(acc, sequence(0, 31), "
+        "(s, j) -> case when s > 0 then shiftleft(1L, j) else 0L end), "
+        "0L, (x, y) -> x + y)"
+    )
+    return corpus.select(
+        "doc_id",
+        F.expr(
+            f"aggregate({hashes}, array_repeat(0, 32), {step}, {finish})"
+        ).alias("simhash"),
     )
 
 

@@ -29,8 +29,10 @@ Pipeline per text span:
      where link_density = words under <a> / words and text_density =
      words / (1 + inline tags opened inside the block) — low text density
      flags markup-soup blocks (tag-cluttered navigation/widgets) even when
-     they carry no links; a one-block neighbourhood rescue keeps short blocks
-     between two content blocks (Boilerpipe's 'surrounded' rule);
+     they carry no links; a neighbourhood rescue keeps short low-link blocks
+     that have ANY content block before them and whose nearest following
+     non-empty block is content (Boilerpipe's 'surrounded' rule with a
+     prefix-relaxed left side; O(n) via precomputed prefix/suffix flags);
   5. media spans inside kept blocks are kept; input-level media spans always
      pass through (they are outside any HTML).
 """
@@ -184,27 +186,43 @@ def extract_main_spans(
             and b["words"] >= MIN_BLOCK_WORDS
             and td >= MIN_TEXT_DENSITY
         )
-    # neighbourhood rescue: short low-link block between two content blocks
+    # nearest non-empty block at index > i (structure-only, is_content-free),
+    # precomputed once so both passes below are O(n) — a mega-doc with many
+    # boilerplate blocks must not trigger a quadratic prefix/suffix rescan
+    next_nonempty: list[Optional[int]] = [None] * n
+    nxt_j: Optional[int] = None
+    for i in range(n - 1, -1, -1):
+        next_nonempty[i] = nxt_j
+        if blocks[i]["words"]:
+            nxt_j = i
+    # neighbourhood rescue: a short low-link block is kept when content has
+    # appeared before it AND the nearest following non-empty block is content
+    # (Boilerpipe's 'surrounded' rule, prefix-relaxed on the left: any earlier
+    # content block qualifies, not only the immediately preceding one).
+    # `seen_content` is a running prefix flag; counting just-rescued blocks in
+    # it is equivalent, since a rescued block itself requires earlier content.
+    seen_content = False
     for i, b in enumerate(blocks):
-        if is_content[i] or not b["words"]:
-            continue
-        if b["link_words"] / b["words"] > MAX_LINK_DENSITY:
-            continue
-        prev_c = any(is_content[j] for j in range(i - 1, -1, -1) if blocks[j]["words"])
-        nxt = next((j for j in range(i + 1, n) if blocks[j]["words"]), None)
-        if prev_c and nxt is not None and is_content[nxt]:
-            is_content[i] = True
+        if not is_content[i] and b["words"] and seen_content:
+            if b["link_words"] / b["words"] <= MAX_LINK_DENSITY:
+                nxt = next_nonempty[i]
+                if nxt is not None and is_content[nxt]:
+                    is_content[i] = True
+        if is_content[i] and b["words"]:
+            seen_content = True
 
     out: list[tuple[str, Optional[str], Optional[str]]] = []
+    seen_content = False
     for i, b in enumerate(blocks):
         if is_content[i]:
             out.extend(b["spans"])
+            if b["words"]:
+                seen_content = True
         elif not b["words"]:
             # media-only block: keep media if adjacent to content
             if any(k == "media" for k, _, _ in b["spans"]):
-                left = any(is_content[j] for j in range(i - 1, -1, -1) if blocks[j]["words"])
-                rj = next((j for j in range(i + 1, n) if blocks[j]["words"]), None)
-                if left or (rj is not None and is_content[rj]):
+                rj = next_nonempty[i]
+                if seen_content or (rj is not None and is_content[rj]):
                     out.extend(s for s in b["spans"] if s[0] == "media")
     return out, STATUS_OK, None
 

@@ -1,10 +1,9 @@
 """Document-pair diff operator — the reference's transform/diff entry point
 (SURVEY.md §2 X4-X8) as a Spark stage.
 
-Two tables of (doc_id, html) are paired on doc_id with a cogrouped
-applyInPandas kernel running the reference-exact BFS positional diff
-(core/diff.py, validated against the bundle's ACTUAL behavior) and emitting
-the ins/del-annotated serialized HTML.
+Two tables of (doc_id, html) are paired on doc_id and run through the
+reference-exact BFS positional diff (core/diff.py, validated against the
+bundle's ACTUAL behavior), emitting the ins/del-annotated serialized HTML.
 
 Scale shape: the doc_id join is the pipeline's only required shuffle beyond
 salting (SURVEY.md §3.2). Pairing uses a relational FULL OUTER join followed

@@ -41,8 +41,9 @@ def _dedup_fn(
     import pandas as pd
 
     total = 0
-    rep: Any = None  # canonical survivor: min doc_id (batch row order is
-    # nondeterministic; this matches functions/dedup.exact_groups)
+    rep: Any = None  # canonical survivor: min doc_id in the INPUT's dtype
+    # (numeric min for numeric ids, matching functions/dedup.exact_groups;
+    # batch row order is nondeterministic so an explicit min is required)
     for pdf in pdfs:
         total += len(pdf)
         if len(pdf):
@@ -67,10 +68,14 @@ def dedup_stream(stream_df: DataFrame, key_expr: str = "md5(text)") -> DataFrame
 
     key_expr: any deterministic SQL expression over the input row (default:
     exact-content md5; swap in a simhash/minhash band expression from
-    functions.dedup for NEAR-dup streaming)."""
+    functions.dedup for NEAR-dup streaming).
+
+    doc_id keeps its ORIGINAL type through the groupBy so the survivor is the
+    numeric min for numeric ids (e.g. 9 < 10, not '10' < '9'); it is cast to
+    string only in the output row."""
     keyed = stream_df.select(
         F.expr(key_expr).alias("content_key"),
-        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("doc_id"),
     )
     return keyed.groupBy("content_key").applyInPandasWithState(
         _dedup_fn,

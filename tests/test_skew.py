@@ -57,6 +57,37 @@ def test_salting_spreads_docs_uniformly(skewed):
     assert max(counts) < 2.5 * (sum(counts) / len(counts))
 
 
+def test_many_boilerplate_blocks_linear(skewed):
+    """A mega-doc with tens of thousands of non-content blocks must pass the
+    heuristics' rescue/media passes in O(n) — the prefix/suffix flags replace
+    the per-block full-prefix rescan that went quadratic here (20k blocks =
+    2e8 scan steps before the fix; linear now)."""
+    import time
+
+    from html_parser_spark.kernels.heuristics import extract_main_spans
+
+    n_blocks = 20_000
+    html = (
+        "<div><p>lead paragraph with plenty of words here</p>"
+        + "<div>a b</div>" * n_blocks  # short (<3 words) low-link blocks
+        + "<p>closing paragraph with plenty of words here</p></div>"
+    )
+    t0 = time.monotonic()
+    spans, status, err = extract_main_spans(html)
+    wall = time.monotonic() - t0
+    assert status == "ok" and err is None
+    texts = [t for _k, t, _m in spans]
+    # both paragraphs kept; the one short block whose NEAREST following
+    # non-empty block is the closing content paragraph is rescued; the other
+    # 19,999 short blocks (followed by short non-content blocks) are dropped
+    assert texts == [
+        "lead paragraph with plenty of words here",
+        "a b",
+        "closing paragraph with plenty of words here",
+    ]
+    assert wall < 10.0, f"heuristics pass went superlinear: {wall:.1f}s"
+
+
 def test_arrow_batch_cap_bounds_kernel_memory(spark, skewed):
     """maxRecordsPerBatch keeps mega-doc batches small: with a cap of 8, no
     Arrow batch hands the kernel more than 8 docs at once."""

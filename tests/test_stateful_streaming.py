@@ -49,3 +49,36 @@ def test_first_seen_only_across_batches_and_restarts(spark, tmp_path):
 
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {"d1", "d2", "d5"}  # d4 (dup of alpha) suppressed
+
+
+def test_numeric_ids_survivor_is_numeric_min(spark, tmp_path):
+    """The canonical survivor for numeric doc_ids is the NUMERIC min (9, not
+    the lexicographic '10'), matching functions/dedup.exact_groups — doc_id
+    keeps its input type through the groupBy and is stringified only in the
+    output row."""
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(10, "alpha"), (9, "alpha"), (100, "alpha"), (20, "beta")], schema
+    ).write.mode("append").parquet(input_dir)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["content_key"]: r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert sorted(got.values()) == ["20", "9"]  # 9 < 10 < 100 numerically

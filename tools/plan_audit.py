@@ -111,6 +111,19 @@ def main() -> int:
     )
 
     audit(
+        "dedup_simhash",
+        qs["dedup_simhash"](spark, sf_dir),
+        [
+            ("shuffle-free: all 32 bit-sums fold in one narrow projection",
+             lambda p: "Exchange" not in p),
+            ("no row amplification (no Generate/explode in the plan)",
+             lambda p: "Generate" not in p),
+            ("scan pruned to doc_id,text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
+    audit(
         "extract_metrics",
         qs["extract_metrics"](spark, sf_dir),
         [
