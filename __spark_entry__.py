@@ -256,7 +256,56 @@ def q_diff_transform(spark, sf_dir):
         did.alias("doc_id"),
         F.concat(F.lit("<p>"), old_text, F.lit("</p>")).alias("html"),
     )
-    return diff_documents(df_new, df_old)
+    return diff_documents(df_new, df_old).select(
+        "doc_id", "diff_html", "status", "error", "n_ins", "n_del"
+    )
+
+
+def q_parse_attrs(spark, sf_dir):
+    """Attribute table end-to-end, exercising the reference's four attr
+    quirks (tokenize.ts:103-120) as output columns: `data-x-id` truncates to
+    name `id` (last \\w+ run before =), valueless `nameonly` is dropped,
+    quoted-empty `class=""` -> NULL value, unquoted-empty `alt=` -> ''."""
+    from html_parser_spark.operators.parse import exploded_attrs, parse_nodes
+
+    did = F.col("doc_id").cast("string")
+    df = _docs(spark, sf_dir).select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit('<div data-x-id="a'), did, F.lit('" keep="k"><p class="" nameonly>'),
+            F.col("text"),
+            F.lit("</p><img src=u alt=/></div>"),
+        ).alias("html"),
+    )
+    return exploded_attrs(parse_nodes(df))
+
+
+def q_diff_attrs(spark, sf_dir):
+    """diffAttributes as queryable output (transformDiff.ts:84-125): pair
+    each doc with an old version whose <p> carries different attributes —
+    equal tag, equal text, so the BFS diff only annotates. Closed form per
+    doc: added q (data-q truncates to q), removed id, updated class->new
+    value 'b', in the annotation dict's construction order."""
+    from html_parser_spark.operators.diff import (
+        diff_documents,
+        exploded_attr_changes,
+    )
+
+    did = F.col("doc_id").cast("string")
+    docs = _docs(spark, sf_dir)
+    df_new = docs.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit('<p class="b" data-q="y'), did, F.lit('">'), F.col("text"), F.lit("</p>")
+        ).alias("html"),
+    )
+    df_old = docs.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit('<p class="a" id="x'), did, F.lit('">'), F.col("text"), F.lit("</p>")
+        ).alias("html"),
+    )
+    return exploded_attr_changes(diff_documents(df_new, df_old))
 
 
 def q_similarity_ivf(spark, sf_dir):
@@ -338,8 +387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf,
         "transform_plugins": q_transform_plugins,
         "parse_nodes": q_parse_nodes,
+        "parse_attrs": q_parse_attrs,
         "extract_quirks": q_extract_quirks,
         "diff_transform": q_diff_transform,
+        "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -711,6 +762,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id, 'ok', 5, 2, 'Element', 'p', NULL, FALSE FROM d
             UNION ALL SELECT doc_id, 'ok', 6, 5, 'Text', NULL, text,
                    CAST(NULL AS BOOLEAN) FROM d
+        """,
+        "parse_attrs": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents)
+            SELECT doc_id, CAST(2 AS INTEGER) AS node_id, 'div' AS tag,
+                   CAST(0 AS INTEGER) AS attr_pos, 'id' AS name,
+                   'a' || doc_id AS value FROM d
+            UNION ALL SELECT doc_id, 2, 'div', 1, 'keep', 'k' FROM d
+            UNION ALL SELECT doc_id, 3, 'p', 0, 'class',
+                   CAST(NULL AS VARCHAR) FROM d
+            UNION ALL SELECT doc_id, 5, 'img', 0, 'src', 'u' FROM d
+            UNION ALL SELECT doc_id, 5, 'img', 1, 'alt', '' FROM d
+        """,
+        "diff_attrs": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents)
+            SELECT doc_id, CAST(2 AS INTEGER) AS node_id,
+                   CAST(0 AS INTEGER) AS change_pos, 'added' AS change,
+                   'q' AS name, 'y' || doc_id AS value FROM d
+            UNION ALL SELECT doc_id, 2, 1, 'removed', 'id', 'x' || doc_id FROM d
+            UNION ALL SELECT doc_id, 2, 2, 'updated', 'class', 'b' FROM d
         """,
         "extract_quirks": """
             WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)

@@ -257,6 +257,28 @@ def diff_pair(
     return generate_iter(new_root), "ok", None
 
 
+def collect_diff_attributes(
+    root: dict[str, Any],
+) -> list[tuple[int, dict[str, list]]]:
+    """(node_id, {added, removed, updated}) for every node in the transformed
+    tree carrying a diffAttributes annotation, in document (DFS pre-)order.
+
+    This surfaces diffAttributes (transformDiff.ts:84-125) as queryable
+    output — the reference computes the annotation but never serializes it
+    (generate ignores unknown keys), so a diff consumer cannot otherwise see
+    added/removed/updated attrs. The dump is defined over the FINAL new tree:
+    equal-tag element pairs annotate the surviving new node exactly once."""
+    out: list[tuple[int, dict[str, list]]] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        d = node.get("diffAttributes")
+        if d is not None:
+            out.append((node["id"], d))
+        stack.extend(reversed(node.get("children") or ()))
+    return out
+
+
 def count_wrappers(root: dict[str, Any]) -> tuple[int, int]:
     """(n_ins, n_del) surviving wrapper elements in a transformed tree."""
     n_ins = n_del = 0

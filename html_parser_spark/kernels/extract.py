@@ -52,6 +52,11 @@ _T_TEXT = 0
 _T_OPEN = 1
 _T_VOID = 2
 _T_END = 3
+# emitted only with keep_all=True (full-parse consumers; the extraction walk
+# never sees them — Comment/CDATA/Interpolation extract no spans)
+_T_COMMENT = 4
+_T_CDATA = 5
+_T_INTERP = 6
 
 # sentinel distinguishing "end tag matched the start-tag regex alternative"
 # (tagName is JS undefined -> can never equal a real tag -> tag_mismatch)
@@ -80,12 +85,18 @@ class _Fail(Exception):
 
 
 def _tokenize_arrays(
-    s: str, want_attrs: bool
+    s: str, want_attrs: bool, keep_all: bool = False
 ) -> tuple[list[int], list[Optional[str]], list[Any], list[Any]]:
     """Pass 1. Returns parallel arrays (types, tags, payloads, attrs).
 
     payloads: text content for _T_TEXT, src value for media _T_OPEN/_T_VOID.
     Raises _Fail on reference-throw/reference-hang inputs.
+
+    keep_all=True additionally emits Comment/CDATA/Interpolation tokens
+    (payload = comment content per tokenize.ts:140-161 incl. the
+    unclosed-comment swallow-all, CDATA inner, raw interpolation match) for
+    full-parse consumers; the extraction path leaves it False and skips them
+    (they extract no spans), with zero cost on that hot path.
     """
     types: list[int] = []
     tags: list[Any] = []
@@ -107,12 +118,26 @@ def _tokenize_arrays(
                 m = CDATA_RE.match(s, pos)
                 if m is None:
                     raise _Fail(STATUS_ERROR, E_CDATA_UNCLOSED)
+                if keep_all:
+                    types.append(_T_CDATA)
+                    tags.append(None)
+                    payloads.append(m.group(1))
+                    if want_attrs:
+                        attrs_col.append(None)
                 pos = m.end()  # CDATA contributes no span, no stack effect
                 continue
             c1 = s[pos + 1] if pos + 1 < n else None
             if c1 == "!":
                 if starts("<!--", pos):
                     close = find("-->", pos + 4)
+                    if keep_all:
+                        types.append(_T_COMMENT)
+                        tags.append(None)
+                        # unclosed comment swallows the ENTIRE remaining
+                        # source including '<!--' (tokenize.ts:140-161)
+                        payloads.append(s[pos + 4 : close] if close >= 0 else s[pos:])
+                        if want_attrs:
+                            attrs_col.append(None)
                     pos = close + 3 if close >= 0 else n  # comment: no span
                     continue
                 # '<!' not '<!--' (e.g. <!DOCTYPE): parseText matches '' ->
@@ -172,6 +197,12 @@ def _tokenize_arrays(
             m = INTERP_RE.match(s, pos)
             if m is None:
                 raise _Fail(STATUS_ERROR, E_INTERP_UNCLOSED)
+            if keep_all:
+                types.append(_T_INTERP)
+                tags.append(None)
+                payloads.append((m.group(0), m.group(1)))  # (raw, inner)
+                if want_attrs:
+                    attrs_col.append(None)
             pos = m.end()  # interpolation: no span
             continue
         m = text_match(s, pos)

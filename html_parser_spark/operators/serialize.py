@@ -9,7 +9,10 @@ Parses each text span and re-serializes it with the reference's exact quirks
   - missing attr values serialize as the literal string 'undefined'
   - attrs keep source order and duplicates
 
-One mapInPandas crossing; error/divergent rows surface as status columns,
+One Python crossing (mapInArrow by default — all four output columns are
+flat scalars, so the batch is rebuilt from plain arrays with no per-row dict
+materialization; the pandas crossing is kept as the semantic twin,
+use_arrow=False); error/divergent rows surface as status columns,
 html_out = NULL (kernel shares the pass-1 tokenizer with extraction).
 """
 
@@ -78,8 +81,47 @@ def serialize_one(html: str) -> tuple[Optional[str], str, Optional[str]]:
     return "".join(parts), STATUS_OK, None
 
 
-def serialize_html(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
+def serialize_html(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
+) -> DataFrame:
     """(id, html) -> (doc_id, html_out, status, error)."""
+    if use_arrow:
+
+        def arrow_kernel(batches):
+            import pyarrow as pa
+
+            schema = pa.schema(
+                [
+                    pa.field("doc_id", pa.string()),
+                    pa.field("html_out", pa.string()),
+                    pa.field("status", pa.string()),
+                    pa.field("error", pa.string()),
+                ]
+            )
+            for batch in batches:
+                doc_arr = batch.column(batch.schema.get_field_index(id_col))
+                if doc_arr.type != pa.string():
+                    doc_arr = doc_arr.cast(pa.string())
+                outs, statuses, errors = [], [], []
+                for h in batch.column(batch.schema.get_field_index(html_col)).to_pylist():
+                    o, s, e = serialize_one(h if h is not None else "")
+                    outs.append(o)
+                    statuses.append(s)
+                    errors.append(e)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        doc_arr,
+                        pa.array(outs, pa.string()),
+                        pa.array(statuses, pa.string()),
+                        pa.array(errors, pa.string()),
+                    ],
+                    schema=schema,
+                )
+
+        return df.mapInArrow(arrow_kernel, schema=SERIALIZE_SCHEMA)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd

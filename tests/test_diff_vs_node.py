@@ -102,6 +102,66 @@ def test_diff_matches_fresh_bundle():
             assert status != "ok", (new_h, old_h, want)
 
 
+# attr-rich pairs covering the annotation paths: added/removed/updated,
+# the quoted-empty -> undefined value quirk, hyphen truncation, nesting,
+# attrs+text changes together, order-insensitive equality, unary pairs
+ATTR_PAIRS = [
+    ('<p class="b" data-q="y">t</p>', '<p class="a" id="x">t</p>'),
+    ('<div a="">t</div>', '<div a="v">t</div>'),
+    ('<div a=>t</div>', '<div>t</div>'),
+    ('<div c="1"><p c="2">x</p></div>', '<div c="9"><p c="8">x</p></div>'),
+    ('<p class="n">new</p>', '<p class="o">old</p>'),
+    ('<p a="1" b="2">t</p>', '<p b="2" a="1">t</p>'),
+    ('<img src="a"/>', '<img src="b"/>'),
+]
+
+
+def _norm_attr_dump(dump):
+    return [
+        (
+            nid,
+            tuple(
+                tuple((a["name"], a.get("value")) for a in d[k])
+                for k in ("added", "removed", "updated")
+            ),
+        )
+        for nid, d in dump
+    ]
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not BUNDLE.exists(),
+    reason="node or reference bundle unavailable",
+)
+def test_diff_attributes_match_fresh_bundle():
+    """collect_diff_attributes must reproduce the bundle's diffAttributes
+    annotations (transformDiff.ts:84-125) — same nodes, same added/removed/
+    updated content and order, over the final new tree."""
+    from html_parser_spark.core import oracle
+    from html_parser_spark.core.diff import (
+        collect_diff_attributes,
+        transform_diff,
+    )
+
+    single = HARNESS.parent / "node_diff_single.mjs"
+    for new_h, old_h in ATTR_PAIRS + SPEC_PAIRS[:4]:
+        proc = subprocess.run(
+            ["node", str(single), json.dumps([new_h, old_h])],
+            capture_output=True,
+            text=True,
+            timeout=20,
+        )
+        assert proc.returncode == 0, proc.stderr[:300]
+        want = json.loads(proc.stdout)
+        assert want["status"] == "ok", (new_h, old_h, want)
+        assert want.get("diffAttrs") is not None, (new_h, old_h)
+        old_root = oracle.parse_html(old_h)
+        new_root = oracle.parse_html(new_h)
+        transform_diff(new_root, old_root, idx_start=1)
+        got = _norm_attr_dump(collect_diff_attributes(new_root))
+        assert got == _norm_attr_dump(want["diffAttrs"]), (new_h, old_h)
+
+
 def test_spark_diff_operator(spark):
     from html_parser_spark.operators.diff import diff_documents
 

@@ -16,7 +16,33 @@ try {
     diffAst: oldAst,
     nodeTransforms: [['all', transformDiffPlugin()]],
   });
-  process.stdout.write(JSON.stringify({ status: 'ok', html }));
+  // dump diffAttributes annotations (DFS pre-order over the final new tree)
+  // so core/diff.collect_diff_attributes can be golden-tested. transform()
+  // deepCopies the AST and discards the annotated copy after generate, so
+  // the annotation is only observable by invoking the plugin DIRECTLY on
+  // freshly parsed trees (the same call shape transform_diff models; node
+  // ids restart per parse, so the dump is independent of the transform()
+  // call above). JSON drops undefined attr values (the quoted-empty quirk)
+  // — readers treat a missing 'value' key as null.
+  let diffAttrs = null;
+  try {
+    const oldAst2 = parser.parser(oldHtml);
+    const newAst2 = parser.parser(newHtml);
+    transformDiffPlugin()(newAst2, { diffAst: oldAst2 });
+    diffAttrs = [];
+    (function walk(n) {
+      if (n.diffAttributes) diffAttrs.push([Number(n.id), n.diffAttributes]);
+      for (const c of n.children || []) walk(c);
+    })(newAst2);
+  } catch (e) {
+    diffAttrs = null; // in-diff TypeError: annotation dump unavailable
+  }
+  // node ids are BigInt in the bundle — coerce for JSON
+  process.stdout.write(
+    JSON.stringify({ status: 'ok', html, diffAttrs }, (k, v) =>
+      typeof v === 'bigint' ? Number(v) : v
+    )
+  );
 } catch (e) {
   process.stdout.write(
     JSON.stringify({ status: 'throw', error_type: e.constructor.name, message: String(e.message) })
