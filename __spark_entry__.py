@@ -316,6 +316,17 @@ def q_multimodal_meta(spark, sf_dir):
     return media_metadata(attach_payload(_docs(spark, sf_dir)))
 
 
+def q_layout_pdf(spark, sf_dir):
+    """REAL PDF text extraction end-to-end: synthesize a valid 2-page PDF
+    per document (title page + body page; half the corpus FlateDecode-
+    compressed, Tj and split-TJ emission both exercised), then run the
+    pure-Python extractor (core/pdf.py) over the binary column. Closed form:
+    page 0 block = the 3-word title, page 1 block = the body text."""
+    from html_parser_spark.operators.layout import attach_pdf, parse_layout_payloads
+
+    return parse_layout_payloads(attach_pdf(_docs(spark, sf_dir)))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -392,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_transform": q_diff_transform,
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
+        "layout_pdf_text": q_layout_pdf,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
     }
@@ -843,6 +855,18 @@ def oracle_sql() -> dict[str, str]:
               CAST(CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS INTEGER) AS height,
               CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS checksum
             FROM documents
+        """,
+        "layout_pdf_text": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                     array_to_string((string_split(text, ' '))[1:3], ' ') AS title
+              FROM documents
+            )
+            SELECT doc_id, 'synth://' || doc_id || '.pdf' AS media_ref,
+                   CAST(0 AS INTEGER) AS page, CAST(0 AS INTEGER) AS block_order,
+                   'text' AS block_kind, title AS content FROM d
+            UNION ALL
+            SELECT doc_id, 'synth://' || doc_id || '.pdf', 1, 1, 'text', text FROM d
         """,
         "events_hourly": """
             SELECT event_type,

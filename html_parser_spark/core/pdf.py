@@ -1,0 +1,377 @@
+"""Minimal pure-Python PDF text extraction + synthesis (stdlib only).
+
+The north_star names a PDF/layout branch; the reference repo has no PDF
+semantics (it is an HTML parser), so this kernel is built from the public
+PDF 1.4 specification, not from any reference contract. Scope is the
+text-bearing subset a layout branch needs:
+
+  reader (pdf_text_blocks):
+    - object scan: `N G obj ... endobj` bodies, streams sliced by /Length
+      (direct or indirect), /Filter /FlateDecode (zlib) or unfiltered
+    - page order from the catalog's page tree (/Pages -> /Kids, nested
+      Pages nodes expanded recursively)
+    - per page: /Contents ref or array of refs, streams concatenated
+    - content streams tokenized for BT..ET text objects; the shown text of
+      Tj / ' / " / TJ operators concatenates into one block per BT..ET
+      (TJ kerning numbers do not contribute spacing, per spec)
+    - PDF string literals with balanced unescaped parens, \\-escapes
+      (\\n \\r \\t \\b \\f \\( \\) \\\\, octal \\ddd, line continuations)
+      and <hex> strings
+    - `/Name Do` outside BT..ET emits a 'figure' block (XObject placement)
+    - malformed/unsupported input degrades to zero blocks, never raises
+
+  writer (synth_pdf): a correct single-xref PDF (catalog, page tree, one
+  content stream per page, Helvetica) used to synthesize deterministic
+  fixture corpora — alternating Tj / split-TJ emission and optional
+  FlateDecode so the reader's paths are all exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Optional
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_CONTENTS_RE = re.compile(rb"/Contents\s*(?:(\d+)\s+\d+\s+R|\[(.*?)\])", re.DOTALL)
+_TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
+_FILTER_RE = re.compile(rb"/Filter\s*/(\w+)")
+_DO_RE = re.compile(rb"/(\w+)\s+Do\b")
+
+
+class _Obj:
+    __slots__ = ("head", "stream")
+
+    def __init__(self, head: bytes, stream: Optional[bytes]):
+        self.head = head  # dict part (before any stream keyword)
+        self.stream = stream  # raw (still-filtered) stream bytes or None
+
+
+def _scan_objects(data: bytes) -> dict[int, _Obj]:
+    objs: dict[int, _Obj] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        body = m.group(3)
+        sm = _STREAM_RE.search(body)
+        if sm is None:
+            objs[num] = _Obj(body, None)
+            continue
+        head = body[: sm.start()]
+        raw = body[sm.end() :]
+        lm = _LENGTH_RE.search(head)
+        if lm is not None:
+            if lm.group(2):  # indirect /Length N 0 R — resolve after the scan
+                objs[num] = _Obj(head, raw)  # sliced lazily in _stream_bytes
+                continue
+            raw = raw[: int(lm.group(1))]
+        else:  # no /Length: trust the endstream delimiter
+            raw = re.sub(rb"\r?\n?endstream\s*$", b"", raw)
+        objs[num] = _Obj(head, raw)
+    return objs
+
+
+def _stream_bytes(obj: _Obj, objs: dict[int, _Obj]) -> Optional[bytes]:
+    """Decoded stream content of an object (resolving indirect /Length)."""
+    if obj.stream is None:
+        return None
+    raw = obj.stream
+    lm = _LENGTH_RE.search(obj.head)
+    if lm is not None and lm.group(2):
+        ref = objs.get(int(lm.group(1)))
+        if ref is not None:
+            try:
+                raw = raw[: int(ref.head.strip())]
+            except ValueError:
+                pass
+    fm = _FILTER_RE.search(obj.head)
+    if fm is not None:
+        if fm.group(1) != b"FlateDecode":
+            return None  # unsupported filter: no text recoverable
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _page_order(objs: dict[int, _Obj]) -> list[int]:
+    """Page object numbers in document order via the catalog's page tree;
+    falls back to ascending /Type /Page object number if the tree is
+    broken (robustness on damaged files)."""
+    root: Optional[int] = None
+    for num, obj in objs.items():
+        tm = _TYPE_RE.search(obj.head)
+        if tm is not None and tm.group(1) == b"Catalog":
+            pm = _PAGES_REF_RE.search(obj.head)
+            if pm is not None:
+                root = int(pm.group(1))
+            break
+    pages: list[int] = []
+
+    def expand(num: int, depth: int) -> None:
+        if depth > 64:  # cycle guard
+            return
+        obj = objs.get(num)
+        if obj is None:
+            return
+        tm = _TYPE_RE.search(obj.head)
+        kind = tm.group(1) if tm is not None else b""
+        if kind == b"Page":
+            pages.append(num)
+            return
+        km = _KIDS_RE.search(obj.head)
+        if km is not None:
+            for rm in _REF_RE.finditer(km.group(1)):
+                expand(int(rm.group(1)), depth + 1)
+
+    if root is not None:
+        expand(root, 0)
+    if not pages:
+        pages = sorted(
+            n for n, o in objs.items()
+            if (tm := _TYPE_RE.search(o.head)) is not None and tm.group(1) == b"Page"
+        )
+    return pages
+
+
+def _page_content(num: int, objs: dict[int, _Obj]) -> bytes:
+    obj = objs.get(num)
+    if obj is None:
+        return b""
+    cm = _CONTENTS_RE.search(obj.head)
+    if cm is None:
+        return b""
+    refs = [int(cm.group(1))] if cm.group(1) else [
+        int(r.group(1)) for r in _REF_RE.finditer(cm.group(2))
+    ]
+    parts = []
+    for r in refs:
+        o = objs.get(r)
+        if o is None:
+            continue
+        s = _stream_bytes(o, objs)
+        if s:
+            parts.append(s)
+    return b"\n".join(parts)
+
+
+_ESCAPES = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+    ord("b"): b"\b", ord("f"): b"\f",
+    ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
+
+
+def _read_literal(s: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ( ... ) string literal starting at s[i]=='('; returns
+    (decoded bytes, index after the closing paren). Balanced unescaped
+    parens nest; \\-escapes and octal per PDF 1.4 §3.2.3."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(s)
+    while i < n and depth:
+        c = s[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = s[i]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < n and j < i + 3 and 0x30 <= s[j] <= 0x37:
+                    j += 1
+                out.append(int(s[i:j], 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and s[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(e)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _read_hex(s: bytes, i: int) -> tuple[bytes, int]:
+    j = s.find(b">", i)
+    if j < 0:
+        j = len(s)
+    hx = re.sub(rb"\s", b"", s[i + 1 : j])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")), j + 1
+    except ValueError:
+        return b"", j + 1
+
+
+_TOKEN_RE = re.compile(rb"\bBT\b|\bET\b|\bTj\b|\bTJ\b|'|\"|\(|<[^<]|/(\w+)\s+Do\b")
+
+
+def _extract_content_blocks(content: bytes) -> list[tuple[str, str]]:
+    """[(kind, text)] blocks of one page's content stream, in stream order:
+    one 'text' block per BT..ET carrying shown text; one 'figure' block per
+    XObject placement (`/Name Do`) outside a text object."""
+    blocks: list[tuple[str, str]] = []
+    in_text = False
+    shown: list[bytes] = []  # strings shown since BT
+    pending: list[bytes] = []  # string operands not yet consumed by an op
+    i = 0
+    n = len(content)
+    while i < n:
+        m = _TOKEN_RE.search(content, i)
+        if m is None:
+            break
+        tok = m.group(0)
+        if tok == b"(":
+            lit, i = _read_literal(content, m.start())
+            pending.append(lit)
+            continue
+        if tok.startswith(b"<"):
+            if tok == b"<<" or content[m.start() : m.start() + 2] == b"<<":
+                i = m.start() + 2  # dict open, not a hex string
+                continue
+            lit, i = _read_hex(content, m.start())
+            pending.append(lit)
+            continue
+        i = m.end()
+        if tok == b"BT":
+            in_text = True
+            shown = []
+            pending = []
+        elif tok == b"ET":
+            if in_text and shown:
+                blocks.append(("text", b"".join(shown).decode("latin-1")))
+            in_text = False
+        elif tok in (b"Tj", b"'"):
+            if in_text and pending:
+                shown.append(pending[-1])
+            pending = []
+        elif tok == b'"':
+            if in_text and pending:
+                shown.append(pending[-1])
+            pending = []
+        elif tok == b"TJ":
+            # array form: every string operand since the last op belongs to
+            # the array; kerning numbers contribute no characters
+            if in_text and pending:
+                shown.extend(pending)
+            pending = []
+        elif m.group(1) is not None:  # /Name Do
+            if not in_text:
+                blocks.append(("figure", m.group(1).decode("latin-1")))
+            pending = []
+    return blocks
+
+
+def pdf_text_blocks(data: bytes) -> list[tuple[int, int, str, str]]:
+    """Extract ordered text/figure blocks from PDF bytes:
+    [(page, block_order, block_kind, content)], block_order running across
+    the whole document. Malformed input yields [] (never raises)."""
+    if not data.startswith(b"%PDF"):
+        return []
+    try:
+        objs = _scan_objects(data)
+        out: list[tuple[int, int, str, str]] = []
+        order = 0
+        for page_idx, page_num in enumerate(_page_order(objs)):
+            for kind, text in _extract_content_blocks(_page_content(page_num, objs)):
+                out.append((page_idx, order, kind, text))
+                order += 1
+        return out
+    except Exception:
+        return []
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def _escape_literal(text: str) -> bytes:
+    b = text.encode("latin-1")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _page_stream(blocks: list[str], page_idx: int) -> bytes:
+    """One content stream: block b -> BT..ET; alternating Tj and split-TJ
+    emission (by (page+block) parity) so both reader paths get exercised.
+    TJ splits the text in half with a kerning number between the halves —
+    concatenation is unchanged (kerning adds no characters)."""
+    parts = []
+    y = 720
+    for b, text in enumerate(blocks):
+        if (page_idx + b) % 2 == 0 or len(text) < 2:
+            shown = b"(" + _escape_literal(text) + b") Tj"
+        else:
+            h = len(text) // 2
+            shown = (
+                b"[(" + _escape_literal(text[:h]) + b") -250 ("
+                + _escape_literal(text[h:]) + b")] TJ"
+            )
+        parts.append(b"BT /F1 12 Tf 72 %d Td " % y + shown + b" ET")
+        y -= 36
+    return b"\n".join(parts)
+
+
+def synth_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+    """A correct minimal PDF: one content stream per page of text blocks,
+    single xref, optional FlateDecode. Deterministic bytes for fixtures."""
+    n = len(pages)
+    font_num = 3 + 2 * n
+    objects: list[bytes] = []  # bodies WITHOUT the "N 0 obj"/"endobj" framing
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n))
+    objects.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n
+    )  # obj 2
+    for i, blocks in enumerate(pages):
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (font_num, 4 + 2 * i)
+        )
+        data = _page_stream(blocks, i)
+        if compress:
+            data = zlib.compress(data)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            head = b"<< /Length %d >>" % len(data)
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    return bytes(out)

@@ -2,16 +2,26 @@
 parser over document-shaped media (north_star: "plus a PDF/layout branch").
 
 The reference has no PDF semantics (it is an HTML parser), so this branch is
-contract-free by construction (SURVEY.md §7.1 step 5): the ROUTING and Spark
-plumbing are real and tested; the actual PDF decode is a pluggable kernel,
-stubbed here (no PDF libs in this container) behind `layout_parser=` with a
-deterministic fake used by tests and the correctness gate.
+contract-free by construction (SURVEY.md §7.1 step 5); the parse kernel is a
+REAL pure-Python PDF text extractor (core/pdf.py: object scan, page tree,
+FlateDecode, BT..ET / Tj / TJ / hex-string tokenization — built from the
+public PDF 1.4 spec), validated by round-trip against the synthesized-PDF
+fixture corpus and hand-crafted streams (tests/test_layout.py) and
+oracle-checked end-to-end by the `layout_pdf_text` gate query.
 
 Flow:
   extracted spans -> explode media refs -> route on extension
-    - pdf/doc-like  -> layout_parse kernel (mapInPandas): per-ref ordered
+    - pdf/doc-like  -> fetch payload bytes -> parse_layout_payloads kernel
+                       (mapInArrow over the binary column): per-ref ordered
                        (page, block_order, block_kind, content) rows
     - image/audio/… -> passthrough rows (decode lives in operators/multimodal)
+
+`parse_layout` (ref-string form) remains for flows where only the reference
+is known and bytes live elsewhere; its default kernel is the deterministic
+md5-fake. When the bytes are in reach, parse_layout_payloads is the real
+path. At 100 TB the binary column rides the same Arrow batches as
+everything else — cap spark.sql.execution.arrow.maxRecordsPerBatch for
+multi-MB documents (same mega-row guidance as the extraction kernel).
 """
 
 from __future__ import annotations
@@ -21,11 +31,14 @@ from typing import Callable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     StringType,
     StructField,
     StructType,
 )
+
+from ..core.pdf import pdf_text_blocks, synth_pdf
 
 LAYOUT_TYPES = ("pdf", "docx", "ps")  # extensions routed to the layout parser
 
@@ -66,13 +79,120 @@ def route_media(df_extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
     return refs.where(is_layout), refs.where(~is_layout)
 
 
-def real_layout_parser(media_ref: str) -> list[tuple[int, int, str, str]]:
-    """Where a real PDF/layout model would run (pdfminer/detectron-style).
-    Not available in this container — explicit stub."""
-    raise NotImplementedError(
-        "PDF/layout parsing requires libraries not present in this environment; "
-        "pass layout_parser= to parse_layout()"
+def attach_pdf(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_ref, payload: binary) with a REAL
+    synthesized PDF per document (page 0: the 3-word title block; page 1:
+    the body text), half the corpus FlateDecode-compressed — deterministic,
+    so the layout extraction has a closed-form SQL oracle. With real data
+    the payload column comes from the lake instead."""
+
+    def kernel(batches):
+        import zlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("media_ref", pa.string()),
+                pa.field("payload", pa.binary()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            refs, payloads = [], []
+            for doc_id, text in zip(ids, texts):
+                text = text or ""
+                title = " ".join(text.split(" ")[:3])
+                refs.append(f"synth://{doc_id}.pdf")
+                # deterministic id-derived parity (works for any id shape);
+                # compression never changes the extracted blocks, so the
+                # SQL oracle is independent of it
+                compress = zlib.crc32(str(doc_id).encode("utf-8")) % 2 == 0
+                payloads.append(synth_pdf([[title], [text]], compress=compress))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(refs, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
     )
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text").mapInArrow(
+        kernel, schema=out_schema
+    )
+
+
+def parse_layout_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+    id_col: str = "doc_id",
+    layout_parser: Callable[[bytes], list[tuple[int, int, str, str]]] = pdf_text_blocks,
+) -> DataFrame:
+    """REAL layout parse over (doc_id, media_ref, payload: binary) rows —
+    the default kernel is the pure-Python PDF text extractor
+    (core/pdf.pdf_text_blocks); swap `layout_parser=` for other formats.
+    One mapInArrow crossing; bytes stay in Arrow buffers until the kernel
+    reads them; malformed payloads yield zero block rows (never fail the
+    stage)."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("media_ref", pa.string()),
+                pa.field("page", pa.int32()),
+                pa.field("block_order", pa.int32()),
+                pa.field("block_kind", pa.string()),
+                pa.field("content", pa.string()),
+            ]
+        )
+        for batch in batches:
+            # the operator's select below normalizes the column names
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            refs = batch.column(batch.schema.get_field_index("media_ref")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            doc_ids, mrefs, pages, orders, kinds, contents = [], [], [], [], [], []
+            for j, (doc_id, ref) in enumerate(zip(ids, refs)):
+                p = payloads[j].as_py()
+                for page, order, kind, content in layout_parser(
+                    bytes(p) if p is not None else b""
+                ):
+                    doc_ids.append(str(doc_id))
+                    mrefs.append(ref)
+                    pages.append(page)
+                    orders.append(order)
+                    kinds.append(kind)
+                    contents.append(content)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.string()),
+                    pa.array(mrefs, pa.string()),
+                    pa.array(pages, pa.int32()),
+                    pa.array(orders, pa.int32()),
+                    pa.array(kinds, pa.string()),
+                    pa.array(contents, pa.string()),
+                ],
+                schema=schema,
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ref_col).alias("media_ref"),
+        F.col(payload_col).alias("payload"),
+    ).mapInArrow(kernel, schema=LAYOUT_SCHEMA)
 
 
 def fake_layout_parser(media_ref: str) -> list[tuple[int, int, str, str]]:
@@ -96,7 +216,10 @@ def parse_layout(
     refs: DataFrame,
     layout_parser: Callable[[str], list[tuple[int, int, str, str]]] = fake_layout_parser,
 ) -> DataFrame:
-    """Arrow-batched layout parse over (doc_id, media_ref) rows."""
+    """Ref-only layout parse (no payload bytes in reach): Arrow-batched over
+    (doc_id, media_ref) rows with a pluggable kernel (default: the
+    deterministic md5-fake). The REAL byte-level path is
+    parse_layout_payloads."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd

@@ -1,14 +1,19 @@
-"""PDF/layout branch (operators/layout.py): routing + parse plumbing."""
+"""PDF/layout branch: routing, ref-only plumbing, and the REAL pure-Python
+PDF text extractor (core/pdf.py) — round-trip vs the synthesizer, hand-
+crafted content streams, malformed input, and the Spark binary-column
+path (operators/layout.parse_layout_payloads)."""
 
 from __future__ import annotations
 
 import pytest
 
+from html_parser_spark.core.pdf import pdf_text_blocks, synth_pdf
 from html_parser_spark.operators.extract import INPUT_SCHEMA, extract_spans
 from html_parser_spark.operators.layout import (
+    attach_pdf,
     fake_layout_parser,
     parse_layout,
-    real_layout_parser,
+    parse_layout_payloads,
     route_media,
 )
 
@@ -49,6 +54,62 @@ def test_layout_parse_deterministic(extracted):
         assert fake_layout_parser(ref)  # kernel used the same fake
 
 
-def test_real_parser_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        real_layout_parser("x.pdf")
+def test_pdf_round_trip_both_filters():
+    pages = [["first page title", "second block on page one"], ["page two body text"]]
+    want = [
+        (0, 0, "text", "first page title"),
+        (0, 1, "text", "second block on page one"),
+        (1, 2, "text", "page two body text"),
+    ]
+    for compress in (False, True):
+        assert pdf_text_blocks(synth_pdf(pages, compress=compress)) == want
+
+
+def test_pdf_string_escapes_round_trip():
+    nasty = [["par(en)s and \\ backslash", "nested ((deep)) parens"], ["tab\tnl\nmix"]]
+    got = pdf_text_blocks(synth_pdf(nasty, compress=True))
+    assert [c for _p, _o, _k, c in got] == [b for page in nasty for b in page]
+
+
+def test_pdf_handcrafted_stream_features():
+    """Hex strings, the ' operator, XObject figures, /Contents arrays, and
+    indirect /Length — features the synthesizer doesn't emit."""
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 6 0 R] >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n"
+        b"BT <68656c6c6f> Tj ET\n/Im1 Do\nendstream\nendobj\n"
+        b"5 0 obj\n31\nendobj\n"
+        b"6 0 obj\n<< /Length 26 >>\nstream\n"
+        b"BT (line one) ' (x) Tj ET\nendstream\nendobj\n"
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\n"
+    )
+    assert pdf_text_blocks(raw) == [
+        (0, 0, "text", "hello"),
+        (0, 1, "figure", "Im1"),
+        (0, 2, "text", "line onex"),
+    ]
+
+
+def test_pdf_malformed_inputs_never_raise():
+    for bad in (b"", b"not a pdf", b"%PDF-1.4\ngarbage", b"%PDF-1.4\n1 0 obj\nstream\n"):
+        assert pdf_text_blocks(bad) == []
+
+
+def test_spark_payload_path_round_trips(spark):
+    """End-to-end binary-column path: synthesize PDFs per doc, extract with
+    the real kernel, recover title/body blocks exactly."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = parse_layout_payloads(attach_pdf(docs)).collect()
+    got = {(r["doc_id"], r["page"]): r for r in rows}
+    assert got[("1", 0)]["content"] == "alpha beta gamma"
+    assert got[("1", 1)]["content"] == "alpha beta gamma delta epsilon"
+    assert got[("2", 0)]["content"] == "one two three"
+    assert got[("2", 1)]["content"] == "one two three four"
+    assert all(r["block_kind"] == "text" for r in rows)
+    assert {r["media_ref"] for r in rows} == {"synth://1.pdf", "synth://2.pdf"}
