@@ -327,6 +327,20 @@ def q_layout_pdf(spark, sf_dir):
     return parse_layout_payloads(attach_pdf(_docs(spark, sf_dir)))
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """The composed end-to-end pipeline (operators/pipeline.py): planted-dup
+    corpus -> wrap -> extraction kernel -> reassembled text -> quality gate
+    -> exact-dedup manifest, one Spark plan with a single wide operation
+    (the final groupBy). Closed form: reassembled text = title + text + text,
+    exact copies (doc_id%5) collapse onto their base (rep = base id,
+    n_copies=2), near copies (doc_id%7, last word dropped) stay distinct."""
+    from html_parser_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(
+        interleaved_from_documents(DD.plant_dups(_docs(spark, sf_dir)))
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -404,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "layout_pdf_text": q_layout_pdf,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
     }
@@ -867,6 +882,29 @@ def oracle_sql() -> dict[str, str]:
                    'text' AS block_kind, title AS content FROM d
             UNION ALL
             SELECT doc_id, 'synth://' || doc_id || '.pdf', 1, 1, 'text', text FROM d
+        """,
+        "pipeline_clean_corpus": f"""
+            WITH {_CORPUS.strip()},
+            rec AS (
+              SELECT doc_id,
+                     array_to_string((string_split(text, ' '))[1:3], ' ')
+                       || ' ' || text || ' ' || text AS rtext
+              FROM corpus
+            ),
+            m AS (
+              SELECT doc_id, rtext,
+                     len(string_split(rtext, ' ')) AS n_words,
+                     len(list_distinct(string_split(rtext, ' '))) AS n_distinct,
+                     list_aggregate(list_transform(string_split(rtext, ' '),
+                                                   x -> length(x)), 'max') AS maxw
+              FROM rec
+            )
+            SELECT md5(rtext) AS text_md5, MIN(doc_id) AS rep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM m
+            WHERE n_words >= 5 AND n_words <= 100000 AND maxw <= 40
+              AND 3 * n_distinct >= n_words
+            GROUP BY md5(rtext)
         """,
         "events_hourly": """
             SELECT event_type,

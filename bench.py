@@ -122,6 +122,10 @@ def main() -> None:
             result["scaling_efficiency_N_to_4N"] = s["value"]
             result["scaling_throughput_N"] = s["throughput_N_docs_per_sec"]
             result["scaling_throughput_4N"] = s["throughput_4N_docs_per_sec"]
+            if "ops" in s:  # per-op efficiencies (extract / parse / minhash)
+                result["scaling_efficiency_per_op"] = {
+                    k: v["scaling_efficiency"] for k, v in s["ops"].items()
+                }
         except Exception:
             pass
     print(json.dumps(result))

@@ -229,34 +229,66 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     rows_per_band: int = LSH_ROWS_PER_BAND,
     threshold_permille: int = JACCARD_THRESHOLD_PERMILLE,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection (the 100 TB scale path): banded bucket
-    equi-join proposes candidates, exact Jaccard verifies — restricted to the
+    grouping proposes candidates, exact Jaccard verifies — restricted to the
     candidates, never all pairs. Output shape equals jaccard_pairs.
 
     Unlike jaccard_pairs this is GLOBAL (no source blocking): LSH's cost is
     already bounded by the banding, and blocking misses genuine cross-block
     duplicates (the driver's documents table contains planted near-dups
-    across sources — verified: LSH finds them, blocked Jaccard cannot)."""
+    across sources — verified: LSH finds them, blocked Jaccard cannot).
+
+    Scale shape (the parts that matter at 10^12 docs):
+      - candidates come from ONE groupBy on (band, key) + an in-bucket pair
+        expansion — not a bands self-join (which shuffles the band table
+        twice and builds a join hash table for data that is 99% singleton
+        buckets);
+      - max_bucket drops degenerate buckets (boilerplate/empty docs sharing
+        a signature would expand quadratically; >max_bucket docs in one
+        bucket means the pairs are near-identical junk better handled by
+        exact dedup) — dropped buckets are counted nowhere else, so choose
+        the cap consciously;
+      - verification never shuffles the full shingle table: the candidate
+        doc-id sets (small by construction) are broadcast-semi-joined
+        against the shingles first, so the wide (doc, g) join runs over
+        O(candidate docs x shingles) rows, not O(corpus x shingles)."""
     sh = shingles(corpus).persist()
     bands = lsh_band_keys(minhash_signatures_from(sh, k), k, rows_per_band)
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # ids_s is re-evaluated per outer lambda element (expression, not a bound
+    # column) — bounded by max_bucket, and real buckets are tiny; the O(n^2)
+    # pair output is the actual product here, unlike the split-indexing trap
+    pair_expr = (
+        "flatten(transform(ids_s, (a, i) -> "
+        "transform(slice(ids_s, i + 2, greatest(size(ids_s) - i - 1, 0)), "
+        "b -> struct(a as doc_a, b as doc_b))))"
     )
-    # verification restricted to CANDIDATES (the whole point of LSH): join the
-    # shingle sets only for proposed pairs — cost O(candidates x shingles),
-    # never the all-pairs blow-up of jaccard_pairs
+    # persisted: the pair set feeds three consumers (the verify join + both
+    # broadcast semi-join sides) and is small by construction; released with
+    # the result like the shingle cache
+    candidates = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where((F.expr("size(ids)") > 1) & (F.expr("size(ids)") <= max_bucket))
+        .select(F.expr("array_sort(ids)").alias("ids_s"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    # verification restricted to CANDIDATES (the whole point of LSH): shrink
+    # each shingle side to candidate docs via a broadcast semi-join BEFORE
+    # the wide join — cost O(candidates x shingles), never the corpus
     sizes = _doc_sizes(sh)
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "g")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    cand_a = candidates.select(F.col("doc_a").alias("doc_id")).distinct()
+    cand_b = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_a = sh.join(F.broadcast(cand_a), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), "g"
+    )
+    sh_b = sh.join(F.broadcast(cand_b), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_b"), "g"
+    )
     inter = (
         candidates.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "g"])
@@ -277,7 +309,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jacc_permille") >= threshold_permille)
     )
-    return _unpersist_with(result, sh)
+    return _unpersist_with(_unpersist_with(result, sh), candidates)
 
 
 def simhash(corpus: DataFrame) -> DataFrame:

@@ -50,15 +50,18 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality(docs: DataFrame) -> DataFrame:
+def quality(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """Integer-exact quality metrics per document:
 
     n_chars, n_words, n_distinct_words, max_word_len, chars-per-word permille,
     BPE-ish subword token count (sum of ceil(len(w)/4)), and a boolean-ish
     quality_ok (0/1 int) gate typical of pretraining filters.
-    """
+
+    keep: extra input columns to carry through (e.g. keep=("text",) when a
+    downstream stage — dedup, export — still needs the content)."""
     return with_words(docs).select(
         "doc_id",
+        *keep,
         F.expr("length(text)").alias("n_chars"),
         F.expr("size(words)").alias("n_words"),
         F.expr("size(array_distinct(words))").alias("n_distinct_words"),

@@ -15,13 +15,22 @@ Scale notes (100 TB / 1000 executors):
   the crossing moves flat Arrow child arrays, never per-span Python dicts
   (the pandas crossing is kept as a tested fallback, use_arrow=False).
 - Skew: mega-documents are row-atomic, so the defense is (a) salted
-  repartitioning on the raw xxhash64(doc_id) to spread docs uniformly across
-  tasks
+  repartitioning — salt_by='hash' spreads docs uniformly on the raw
+  xxhash64(doc_id); salt_by='bytes' is SIZE-WEIGHTED: an AQE REBALANCE on
+  doc_id, which splits/coalesces the shuffle output by measured partition
+  BYTES (optimizeSkewsInRebalancePartitions), so a mega-doc gets a
+  partition to itself instead of dragging its hash-bucket's light docs
+  into the hottest task (measured: 10 MB doc among 10k -> co-resident
+  light bytes on the hottest task drop from ~670 KB to ~0; BASELINE.md) —
   and (b) byte-bounded Arrow batches (set
   spark.sql.execution.arrow.maxRecordsPerBatch down for mega-doc corpora).
   Salting is a full shuffle of the input bytes — leave salt_partitions=None
   when the upstream layout is already uniform (e.g. sized parquet row
-  groups + AQE); pass an int when the source is skewed.
+  groups + AQE); pass an int (or salt_by='bytes') when the source is
+  skewed. In bytes mode the partition count follows
+  spark.sql.adaptive.advisoryPartitionSizeInBytes (size it to the per-task
+  byte budget), not salt_partitions; sizes are COMPRESSED shuffle bytes,
+  so low-entropy payloads pack denser than their logical size.
 - partition_id = pmod(xxhash64(doc_id), n_buckets) is derived from doc_id, so
   re-runs produce identical bucket assignment -> idempotent per-partition
   lineage commits (resume support; see sources/checkpoint.py).
@@ -273,11 +282,16 @@ def extract_spans(
     salt_partitions: Optional[int] = None,
     n_buckets: int = 1024,
     use_arrow: bool = True,
+    salt_by: str = "hash",
 ) -> DataFrame:
     """The flagship operator: interleaved docs -> ordered extracted spans.
 
     salt_partitions: if set, hash-repartition on xxhash64(doc_id) first
-    (north_rule skew defense). n_buckets: lineage bucket count.
+    (north_rule skew defense). salt_by='bytes' selects the size-weighted
+    variant instead (AQE REBALANCE on doc_id: partitions sized by measured
+    shuffle bytes, mega-docs isolated; partition count follows
+    spark.sql.adaptive.advisoryPartitionSizeInBytes rather than
+    salt_partitions). n_buckets: lineage bucket count.
     use_arrow: mapInArrow crossing (default — avoids per-span dict
     materialization on both sides); False selects the pandas crossing
     (semantic twin, kept for comparison and as a fallback).
@@ -289,7 +303,17 @@ def extract_spans(
             f"extract_spans input is missing column(s) {sorted(missing)}; "
             "expected (doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)"
         )
-    if salt_partitions:
+    if salt_by not in ("hash", "bytes"):
+        raise ValueError(f"salt_by must be 'hash' or 'bytes', got {salt_by!r}")
+    if salt_by == "bytes":
+        # size-weighted salting: hash-distribute on doc_id, then let AQE
+        # re-cut the shuffle output by BYTES (skew splits + small-partition
+        # coalesce). A mega-doc is row-atomic, so the best any partitioner
+        # can do is give it a partition of its own — this does exactly that
+        # without a second sizing scan (it reuses the shuffle's own map
+        # output statistics).
+        df = df.hint("rebalance", "doc_id")
+    elif salt_partitions:
         # full-entropy salt: repartition hashes the expression again, so
         # wrapping in pmod(.., P) would collapse to P distinct values and
         # leave ~1/e of the partitions empty (verified) — hash the raw

@@ -1,11 +1,19 @@
-"""spark-submit benchmark payload: time the extraction pass over an input
+"""spark-submit benchmark payload: time one operator pass over an input
 parquet, print one JSON line. Used by tools/scaling_bench.py at two
 parallelism levels (the sandbox stand-in for N vs 4N executors).
 
+--op selects the measured operator:
+  extract  (default) extraction kernel over the interleaved table
+  parse    full-tree parse_nodes over the wrap html (derived by a narrow
+           JVM projection from the same interleaved table)
+  minhash  MinHash+LSH near-dup pair pipeline over a documents-shaped
+           (doc_id, text, source) table — the shuffle-heavy scaling case,
+           vs the two shuffle-free kernels above
+
 A warm-up pass runs first (JVM JIT + Python worker pool spin-up), then the
-measured pass. Partitioning is pinned (--partitions) so both cluster sizes
-execute identical work units and only the execution parallelism varies —
-exactly the N vs 4N comparison the north_rule asks for.
+measured passes. Partitioning is pinned (--partitions, extract only) so both
+cluster sizes execute identical work units and only execution parallelism
+varies — exactly the N vs 4N comparison the north_rule asks for.
 """
 
 from __future__ import annotations
@@ -19,20 +27,35 @@ import time
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument("--op", choices=("extract", "parse", "minhash"), default="extract")
     ap.add_argument("--partitions", type=int, default=128)
     ap.add_argument("--trials", type=int, default=5)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
-    from html_parser_spark.operators.extract import extract_spans
-
-    spark = SparkSession.builder.appName("extract-bench").getOrCreate()
+    spark = SparkSession.builder.appName(f"{args.op}-bench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def one_pass() -> float:
+    def build_out():
         df = spark.read.parquet(args.input)
-        out = extract_spans(df, salt_partitions=args.partitions or None)
+        if args.op == "extract":
+            from html_parser_spark.operators.extract import extract_spans
+
+            return extract_spans(df, salt_partitions=args.partitions or None)
+        if args.op == "parse":
+            from html_parser_spark.operators.parse import parse_nodes
+
+            return parse_nodes(
+                df.select("doc_id", F.expr("spans[0].text").alias("html"))
+            )
+        from html_parser_spark.functions.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(df)
+
+    def one_pass() -> float:
+        out = build_out()
         t0 = time.time()
         out.write.format("noop").mode("overwrite").save()
         return time.time() - t0
@@ -44,6 +67,7 @@ def main(argv=None) -> int:
     print(
         json.dumps(
             {
+                "op": args.op,
                 "wall_sec": round(wall, 3),
                 "walls": [round(w, 3) for w in walls],
                 "n_docs": n_docs,

@@ -57,6 +57,70 @@ def test_salting_spreads_docs_uniformly(skewed):
     assert max(counts) < 2.5 * (sum(counts) / len(counts))
 
 
+def test_bytes_salting_isolates_mega_doc(spark):
+    """salt_by='bytes' (AQE rebalance) must give a mega-doc a partition of
+    its own: with one ~10 MB doc among 10k light docs, the hottest task
+    carries (near-)zero co-resident light bytes, vs a full hash-bucket's
+    worth (~1/P of the light corpus) under plain hash salting. High-entropy
+    text defeats shuffle compression so byte stats reflect logical sizes."""
+    from pyspark.sql import functions as F
+
+    light = spark.range(4000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.expr(
+                    "array_join(transform(sequence(0,31), i -> md5(concat(id,'-',i))), ' ')"
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    mega = spark.range(1).select(
+        F.lit("mega").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.expr(
+                    "array_join(transform(sequence(0,303030), i -> md5(concat('m',i))), ' ')"
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    df = light.unionAll(mega)
+
+    def mega_partition_load(out):
+        rows = (
+            out.select(
+                "doc_id", "n_text_chars", F.spark_partition_id().alias("p")
+            ).collect()
+        )
+        mega_p = next(r["p"] for r in rows if r["doc_id"] == "mega")
+        co_resident = [
+            r for r in rows if r["p"] == mega_p and r["doc_id"] != "mega"
+        ]
+        return sum(r["n_text_chars"] for r in co_resident), len(co_resident)
+
+    old = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    try:
+        hash_bytes, hash_docs = mega_partition_load(
+            extract_spans(df, salt_partitions=16)
+        )
+        reb_bytes, reb_docs = mega_partition_load(extract_spans(df, salt_by="bytes"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
+    # hash salting drags ~1/16 of the light corpus into the mega task
+    assert hash_docs > 100
+    # size-weighted salting: hottest task is (nearly) the atomic floor
+    assert reb_docs < 20
+    assert reb_bytes < hash_bytes / 10
+
+
 def test_many_boilerplate_blocks_linear(skewed):
     """A mega-doc with tens of thousands of non-content blocks must pass the
     heuristics' rescue/media passes in O(n) — the prefix/suffix flags replace

@@ -133,6 +133,33 @@ def main() -> int:
     )
 
     audit(
+        "dedup_minhash_lsh",
+        qs["dedup_minhash_lsh"](spark, sf_dir),
+        [
+            ("verification sides shrink via broadcast semi-joins (the full "
+             "shingle table is never shuffled for the wide join)",
+             lambda p: p.count("BroadcastHashJoin") >= 2 and "LeftSemi" in p),
+            ("candidates from one groupBy on (band,key), not a bands "
+             "self-join (no join of the band table with itself)",
+             lambda p: "collect_list" in p),
+        ],
+    )
+
+    audit(
+        "pipeline_clean_corpus",
+        qs["pipeline_clean_corpus"](spark, sf_dir),
+        [
+            ("one wide op total: the dedup groupBy's Exchange "
+             "(extract -> reassemble -> quality gate are all narrow)",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("map-side partial aggregation before the exchange",
+             lambda p: "partial_" in p),
+            ("one Python crossing (MapInArrow); quality gate fused JVM-side",
+             lambda p: p.count("MapInArrow") <= 2 and "MapInPandas" not in p),
+        ],
+    )
+
+    audit(
         "events_hourly",
         qs["events_hourly"](spark, sf_dir),
         [
