@@ -174,6 +174,29 @@ def q_text_fingerprint(spark, sf_dir):
     return TXT.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_topk_terms(spark, sf_dir):
+    """Corpus-level term document-frequency, top-50 by (df desc, term) —
+    a deterministic cut even with ties."""
+    return TXT.doc_frequency(_docs(spark, sf_dir), top_n=50)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based stratified sampling: each source strata
+    keeps permille = 100 + 40 * (source_number % 10) of its docs by md5
+    bucket — reproducible row-for-row by the SQL oracle (no RNG), stable
+    under re-runs (lineage-friendly)."""
+    from html_parser_spark.functions.sampling import (
+        keep_bucket_expr,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    permille = "100 + 40 * (cast(substr(source, 4) as int) % 10)"
+    return stratified_sample(docs, permille).select(
+        "doc_id", "source", F.expr(keep_bucket_expr()).alias("bucket")
+    )
+
+
 def q_similarity_topk(spark, sf_dir):
     return SIM.brute_force_topk(_embs(spark, sf_dir))
 
@@ -407,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_topk_terms": q_text_topk_terms,
+        "sample_stratified": q_sample_stratified,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
         "similarity_ivf_topk": q_similarity_ivf,
@@ -719,6 +744,23 @@ def oracle_sql() -> dict[str, str]:
                     w -> {wh} % {TXT.FP_MOD})),
                 (acc, v) -> (acc * {TXT.FP_BASE} + v) % {TXT.FP_MOD}) AS fingerprint
             FROM documents
+        """,
+        "text_topk_terms": """
+            WITH t AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            )
+            SELECT term, COUNT(*) AS df
+            FROM t GROUP BY term
+            ORDER BY df DESC, term LIMIT 50
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, source,
+                   {_WORD_HASH_D.format(w="CAST(doc_id AS VARCHAR)")} % 1000
+                     AS bucket
+            FROM documents
+            WHERE {_WORD_HASH_D.format(w="CAST(doc_id AS VARCHAR)")} % 1000
+                  < 100 + 40 * (CAST(substr(source, 4, 10) AS INTEGER) % 10)
         """,
         "similarity_topk": f"""
             WITH q AS (

@@ -312,9 +312,26 @@ def minhash_lsh_pairs(
     return _unpersist_with(_unpersist_with(result, sh), candidates)
 
 
+def simhash_expr(text_col: str = "text") -> str:
+    """The 32-bit SimHash of a text column as ONE SQL expression (usable in
+    any projection, including streaming key_exprs): bit_j = 1 iff sum over
+    distinct words of (+1 if bit j of h(w) else -1) > 0."""
+    h = WORD_HASH.format(w="w")
+    hashes = f"transform(array_distinct(split({text_col}, ' ')), w -> {h})"
+    step = (
+        "(acc, hv) -> zip_with(acc, sequence(0, 31), "
+        "(a, j) -> a + case when (shiftright(hv, j) & 1) = 1 then 1 else -1 end)"
+    )
+    finish = (
+        "acc -> aggregate(zip_with(acc, sequence(0, 31), "
+        "(s, j) -> case when s > 0 then shiftleft(1L, j) else 0L end), "
+        "0L, (x, y) -> x + y)"
+    )
+    return f"aggregate({hashes}, array_repeat(0, 32), {step}, {finish})"
+
+
 def simhash(corpus: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over the distinct-word set.
-    bit_j = 1 iff sum over words of (+1 if bit j of h(w) else -1) > 0.
 
     Shuffle-free shape: ALL 32 bit-sums accumulate in ONE per-doc fold (a
     32-element int-array accumulator over the hashed distinct words), then
@@ -326,23 +343,7 @@ def simhash(corpus: DataFrame) -> DataFrame:
     is a constant 32-element build per step, not the per-element
     re-evaluation trap (that trap is indexing an expression-built ARRAY
     inside a lambda, e.g. split(text)[i])."""
-    h = WORD_HASH.format(w="w")
-    hashes = f"transform(array_distinct(split(text, ' ')), w -> {h})"
-    step = (
-        "(acc, hv) -> zip_with(acc, sequence(0, 31), "
-        "(a, j) -> a + case when (shiftright(hv, j) & 1) = 1 then 1 else -1 end)"
-    )
-    finish = (
-        "acc -> aggregate(zip_with(acc, sequence(0, 31), "
-        "(s, j) -> case when s > 0 then shiftleft(1L, j) else 0L end), "
-        "0L, (x, y) -> x + y)"
-    )
-    return corpus.select(
-        "doc_id",
-        F.expr(
-            f"aggregate({hashes}, array_repeat(0, 32), {step}, {finish})"
-        ).alias("simhash"),
-    )
+    return corpus.select("doc_id", F.expr(simhash_expr("text")).alias("simhash"))
 
 
 EMB_OFFSET = 100_000

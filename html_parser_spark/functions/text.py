@@ -86,6 +86,25 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_frequency(docs: DataFrame, top_n: int = 0) -> DataFrame:
+    """(term, df): per-term DOCUMENT frequency over the corpus (distinct
+    words per doc, so a term counts once per document). top_n > 0 keeps the
+    top terms by (df desc, term asc) — a deterministic cut even with ties.
+
+    Scale shape: the explode is inherent to corpus-level term stats, but the
+    groupBy is map-side combinable (partial counts per task before the one
+    Exchange) and the top-k runs as TakeOrdered, never a full sort."""
+    df_t = (
+        with_words(docs)
+        .select(F.explode(F.expr("array_distinct(words)")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    if top_n:
+        df_t = df_t.orderBy(F.desc("df"), "term").limit(top_n)
+    return df_t
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — Rabin-Karp rolling hash over the word stream:
     acc = (acc * 1000003 + h(word)) mod (2^31-1), h = first 32 md5 bits.

@@ -93,6 +93,34 @@ def test_pdf_handcrafted_stream_features():
     ]
 
 
+def test_pdf_round_trip_property():
+    """Hypothesis fuzz: synth_pdf -> pdf_text_blocks recovers every block
+    byte-for-byte for arbitrary latin-1 text (escapes, parens, newlines,
+    control chars), any page/block structure, both filters."""
+    from hypothesis import given, settings, strategies as st
+
+    text = st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=255),
+        min_size=1,
+        max_size=60,
+    )
+    pages = st.lists(st.lists(text, min_size=1, max_size=4), min_size=1, max_size=4)
+
+    @settings(max_examples=120, deadline=None)
+    @given(pages=pages, compress=st.booleans())
+    def run(pages, compress):
+        got = pdf_text_blocks(synth_pdf(pages, compress=compress))
+        want = [b for page in pages for b in page]
+        assert [c for _p, _o, k, c in got if k == "text"] == want
+        # page indices ascend and block_order is the global running order
+        assert [o for _p, o, _k, _c in got] == list(range(len(got)))
+        assert [p for p, _o, _k, _c in got] == [
+            i for i, page in enumerate(pages) for _ in page
+        ]
+
+    run()
+
+
 def test_pdf_malformed_inputs_never_raise():
     for bad in (b"", b"not a pdf", b"%PDF-1.4\ngarbage", b"%PDF-1.4\n1 0 obj\nstream\n"):
         assert pdf_text_blocks(bad) == []

@@ -51,6 +51,38 @@ def test_first_seen_only_across_batches_and_restarts(spark, tmp_path):
     assert got2 == {"d1", "d2", "d5"}  # d4 (dup of alpha) suppressed
 
 
+def test_near_dup_streaming_via_simhash_key(spark, tmp_path):
+    """dedup_stream with a SimHash key_expr (functions/dedup.simhash_expr):
+    docs with the same distinct-word SET — e.g. reordered or word-repeated
+    variants — collapse onto one survivor, which exact-content md5 keying
+    would keep separately."""
+    from html_parser_spark.functions.dedup import simhash_expr
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = [
+        ("d1", "alpha beta gamma delta"),
+        ("d2", "delta gamma beta alpha"),       # reordered -> same word set
+        ("d3", "alpha alpha beta gamma delta"),  # repeated -> same distinct set
+        ("d4", "completely different words here"),
+    ]
+    spark.createDataFrame(batch, DOC_SCHEMA).write.mode("append").parquet(input_dir)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    q = (
+        dedup_stream(stream, key_expr=f"cast(({simhash_expr('text')}) as string)")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"]: r["n_dupes_in_batch"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"d1": 3, "d4": 1}  # d2/d3 suppressed as near-dups of d1
+
+
 def test_numeric_ids_survivor_is_numeric_min(spark, tmp_path):
     """The canonical survivor for numeric doc_ids is the NUMERIC min (9, not
     the lexicographic '10'), matching functions/dedup.exact_groups — doc_id
