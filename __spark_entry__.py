@@ -180,6 +180,11 @@ def q_text_topk_terms(spark, sf_dir):
     return TXT.doc_frequency(_docs(spark, sf_dir), top_n=50)
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Per-doc top-3 salient terms by the integer TF-IDF ratio."""
+    return TXT.tf_idf_topk(_docs(spark, sf_dir), k=3)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling: each source strata
     keeps permille = 100 + 40 * (source_number % 10) of its docs by md5
@@ -431,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_topk_terms": q_text_topk_terms,
+        "text_tfidf": q_text_tfidf,
         "sample_stratified": q_sample_stratified,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
@@ -753,6 +759,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*) AS df
             FROM t GROUP BY term
             ORDER BY df DESC, term LIMIT 50
+        """,
+        "text_tfidf": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+            dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+            dl AS (SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY 1),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                     (1000000 * tf.tf * tot.n_docs)
+                       // (dl.doc_len * dft.df) AS score_micro
+              FROM tf
+              CROSS JOIN tot
+              JOIN dft USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_micro DESC, term) AS rk
+              FROM s
+            )
+            SELECT doc_id, term, tf, df, score_micro, CAST(rk AS INTEGER) AS rank
+            FROM r WHERE rk <= 3
         """,
         "sample_stratified": f"""
             SELECT doc_id, source,

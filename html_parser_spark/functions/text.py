@@ -105,6 +105,44 @@ def doc_frequency(docs: DataFrame, top_n: int = 0) -> DataFrame:
     return df_t
 
 
+def tf_idf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k salient terms by a LOG-FREE integer TF-IDF:
+
+        score_micro = div(1e6 * tf * n_docs, doc_len * df)
+
+    i.e. term-frequency normalized by document length, weighted by inverse
+    document frequency as a pure ratio (no ln) — monotone in the classic
+    tf-idf for fixed doc, and integer-exact so the DuckDB oracle compares
+    bit-for-bit (IEEE ln is not correctly-rounded across engines). The
+    int64 product bounds the corpus at ~1e12/doc_len docs; rescale the 1e6
+    factor (or go double) beyond that.
+
+    Plan shape: tf groupBy is map-side combinable; the df join broadcasts
+    when the vocabulary is small (AQE decides); doc_len and rank share ONE
+    window Exchange on doc_id. Ties cut deterministically by (score desc,
+    term asc)."""
+    from pyspark.sql import Window
+
+    words = with_words(docs).select("doc_id", F.explode("words").alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_frequency(docs), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("doc_len", F.sum("tf").over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "score_micro",
+            F.expr("div(1000000 * tf * n_docs, doc_len * df)"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — Rabin-Karp rolling hash over the word stream:
     acc = (acc * 1000003 + h(word)) mod (2^31-1), h = first 32 md5 bits.
