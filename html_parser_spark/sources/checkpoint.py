@@ -62,12 +62,14 @@ class ExtractCheckpointJob:
         n_groups: int = 8,
         options: Optional[ExtractOptions] = None,
         salt_partitions: Optional[int] = None,
+        salt_by: str = "hash",
     ):
         self.spark = spark
         self.out_dir = out_dir.rstrip("/")
         self.n_groups = n_groups
         self.options = options
         self.salt_partitions = salt_partitions
+        self.salt_by = salt_by
 
     @property
     def data_dir(self) -> str:
@@ -108,7 +110,10 @@ class ExtractCheckpointJob:
             t0 = time.time()
             df = input_factory().where(self._group_expr() == g)
             out = extract_spans(
-                df, options=self.options, salt_partitions=self.salt_partitions
+                df,
+                options=self.options,
+                salt_partitions=self.salt_partitions,
+                salt_by=self.salt_by,
             )
             # (2) idempotent data write for this group
             out.write.mode("overwrite").parquet(f"{self.data_dir}/group={g}")

@@ -3,7 +3,8 @@
     spark-submit --master <cluster> --py-files engine.zip jobs/extract.py \
         --input  <parquet dir of (doc_id, spans[])>  \
         --output <dir: data/ + lineage/>             \
-        [--n-groups 16] [--salt-partitions P] [--mode strict|main] [--resume]
+        [--n-groups 16] [--salt-partitions P | --salt-by bytes]
+        [--mode strict|main] [--resume]
 
 Build engine.zip with tools/make_pyfiles.sh (zips html_parser_spark/).
 Without --input, a deterministic synthetic corpus is generated from
@@ -26,6 +27,8 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--n-groups", type=int, default=16)
     ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument("--salt-by", choices=["hash", "bytes"], default="hash",
+                    help="bytes = size-weighted AQE rebalance (mega-doc isolation)")
     ap.add_argument("--mode", choices=["strict", "main"], default="strict")
     ap.add_argument("--synth-docs", type=int, default=10_000)
     ap.add_argument("--synth-seed", type=int, default=42)
@@ -59,6 +62,7 @@ def main(argv=None) -> int:
         n_groups=args.n_groups,
         options=ExtractOptions(mode=args.mode),
         salt_partitions=args.salt_partitions,
+        salt_by=args.salt_by,
     )
     results = job.run(factory)
     summary = {

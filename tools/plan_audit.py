@@ -133,6 +133,21 @@ def main() -> int:
     )
 
     audit(
+        "text_tfidf",
+        qs["text_tfidf"](spark, sf_dir),
+        [
+            ("four shuffles total (tf agg, df agg, corpus count, ONE window "
+             "Exchange) — the doc_len and rank windows share theirs",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 4
+             and len(re.findall(r"\(\d+\) Window\b", p)) == 2),
+            ("df and corpus-count join sides broadcast",
+             lambda p: len(re.findall(r"\(\d+\) BroadcastExchange\b", p)) == 2),
+            ("map-side partial aggregation for tf",
+             lambda p: "partial_count" in p),
+        ],
+    )
+
+    audit(
         "dedup_minhash_lsh",
         qs["dedup_minhash_lsh"](spark, sf_dir),
         [
