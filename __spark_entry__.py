@@ -344,6 +344,16 @@ def q_multimodal_meta(spark, sf_dir):
     return media_metadata(attach_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_image(spark, sf_dir):
+    """REAL image decode end-to-end: synthesize a 24-bit BMP per document
+    (dimensions + fill from md5(text), one white corner pixel) and decode
+    it with the pure-Python kernel (core/image.py). Closed form: n_px = w*h,
+    per-channel sum = fill*(n_px-1) + 255."""
+    from html_parser_spark.operators.multimodal import attach_bmp, image_features
+
+    return image_features(attach_bmp(_docs(spark, sf_dir)))
+
+
 def q_layout_pdf(spark, sf_dir):
     """REAL PDF text extraction end-to-end: synthesize a valid 2-page PDF
     per document (title page + body page; half the corpus FlateDecode-
@@ -448,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_transform": q_diff_transform,
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_decode": q_multimodal_image,
         "layout_pdf_text": q_layout_pdf,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_hourly": q_events_hourly,
@@ -944,6 +955,24 @@ def oracle_sql() -> dict[str, str]:
               CAST(CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS INTEGER) AS height,
               CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS checksum
             FROM documents
+        """,
+        "multimodal_image_decode": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     4 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 13 AS w,
+                     4 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 13 AS h,
+                     CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS fr,
+                     CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS fg,
+                     CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS fb
+              FROM documents
+            )
+            SELECT doc_id, 'bmp' AS format, 'decoded' AS outcome,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(w * h AS INTEGER) AS n_px,
+                   CAST(fr * (w * h - 1) + 255 AS BIGINT) AS sum_r,
+                   CAST(fg * (w * h - 1) + 255 AS BIGINT) AS sum_g,
+                   CAST(fb * (w * h - 1) + 255 AS BIGINT) AS sum_b
+            FROM d
         """,
         "layout_pdf_text": """
             WITH d AS (

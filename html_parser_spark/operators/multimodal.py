@@ -1,14 +1,18 @@
 """Multimodal column handling: image/audio/video as opaque `binary` columns
-with typed metadata, processed by Arrow-batched kernels over mapInPandas.
+with typed metadata, processed by Arrow-batched kernels.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(NotImplementedError behind `decoder=`), but everything Spark-side is real
-and tested: binary schema, batch shape, partitioning, metadata extraction,
-and the deterministic fake feature path used by the correctness gate.
+The DECODE step is REAL for uncompressed formats: 24-bit BMP decodes in
+pure Python+numpy (core/image.py — header parse, stride/bottom-up/BGR
+handling, nearest-neighbor thumbnails), validated end-to-end by the
+`multimodal_image_decode` gate query over synthesized BMPs. Compressed
+codecs (JPEG/PNG/GIF) genuinely require codec libraries absent from this
+container; they are sniffed by magic and surface an explicit
+outcome='codec_unavailable' row — an honest seam, not a fake decode.
 
 `attach_payload` derives a deterministic 16-byte binary payload per document
 (unhex(md5(text))) so the metadata kernel output has a closed-form SQL
-oracle; with real data you'd read the bytes from the lake instead.
+oracle; `attach_bmp` synthesizes a real BMP per document the same way.
+With real data you'd read the bytes from the lake instead.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ from typing import Callable, Iterator, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -46,12 +51,149 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def real_decoder(payload: bytes) -> dict:
-    """Where a real image decode would go (PIL/libvips are not in this
-    container). Kept as an explicit, clearly-marked stub."""
+    """Real decode for formats a pure-Python kernel can honestly handle
+    (24-bit BMP via core/image.py); codec formats (JPEG/PNG/GIF) raise the
+    explicit stub error — decoding them requires codec libraries not in
+    this container. For the graceful (row-outcome) form of the same
+    routing, use image_features()."""
+    from ..core.image import decode_bmp, sniff_format
+
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        img = decode_bmp(payload)
+        if img is None:
+            raise ValueError("malformed BMP payload")
+        h, w = img.shape[:2]
+        return {"format": "bmp", "width": w, "height": h}
     raise NotImplementedError(
-        "image/audio decoding requires codec libraries not present in this "
+        f"decoding {fmt!r} requires codec libraries not present in this "
         "environment; wire a decoder via media_metadata(decoder=...)"
     )
+
+
+def attach_bmp(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary) with a REAL synthesized BMP
+    per document: dimensions and fill color derived from md5(text) (width =
+    4 + b0 % 13, height = 4 + b1 % 13, fill RGB = bytes 2..4, one white
+    top-left pixel) — deterministic, so the decode output has a closed-form
+    SQL oracle."""
+    from ..core.image import synth_bmp
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                b = hashlib.md5((text or "").encode("utf-8")).digest()
+                payloads.append(
+                    synth_bmp(4 + b[0] % 13, 4 + b[1] % 13, (b[2], b[3], b[4]))
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("format", StringType()),
+        StructField("outcome", StringType()),  # decoded|codec_unavailable|undecodable
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode over a binary column (mapInArrow): BMPs decode to
+    dimensions + per-channel pixel sums (integer-exact — the oracle-able
+    feature form of mean color); codec formats surface
+    outcome='codec_unavailable', malformed bytes 'undecodable' — the stage
+    never fails on bad media."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.image import decode_bmp, sniff_format
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("format", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+                pa.field("n_px", pa.int32()),
+                pa.field("sum_r", pa.int64()),
+                pa.field("sum_g", pa.int64()),
+                pa.field("sum_b", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            # the operator's select below normalizes the column names
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            out = {k: [] for k in ("id", "fmt", "oc", "w", "h", "n", "r", "g", "b")}
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                data = bytes(p) if p is not None else b""
+                fmt = sniff_format(data)
+                img = decode_bmp(data) if fmt == "bmp" else None
+                if img is not None:
+                    h, w = img.shape[:2]
+                    sums = img.reshape(-1, 3).sum(axis=0, dtype="int64")
+                    row = ("decoded", w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]))
+                elif fmt in ("jpeg", "png", "gif"):
+                    row = ("codec_unavailable", 0, 0, 0, 0, 0, 0)
+                else:
+                    row = ("undecodable", 0, 0, 0, 0, 0, 0)
+                out["id"].append(str(doc_id))
+                out["fmt"].append(fmt)
+                for k, v in zip(("oc", "w", "h", "n", "r", "g", "b"), row):
+                    out[k].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["id"], pa.string()),
+                    pa.array(out["fmt"], pa.string()),
+                    pa.array(out["oc"], pa.string()),
+                    pa.array(out["w"], pa.int32()),
+                    pa.array(out["h"], pa.int32()),
+                    pa.array(out["n"], pa.int32()),
+                    pa.array(out["r"], pa.int64()),
+                    pa.array(out["g"], pa.int64()),
+                    pa.array(out["b"], pa.int64()),
+                ],
+                schema=schema,
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def fake_decoder(payload: bytes) -> dict:

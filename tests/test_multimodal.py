@@ -32,6 +32,58 @@ def test_null_payload_safe(spark):
     assert (r["n_bytes"], r["magic"], r["checksum"]) == (0, "", 0)
 
 
-def test_real_decoder_is_explicit_stub():
+def test_real_decoder_decodes_bmp_and_stubs_codecs():
+    from html_parser_spark.core.image import synth_bmp
+
+    d = real_decoder(synth_bmp(6, 4, (9, 8, 7)))
+    assert d == {"format": "bmp", "width": 6, "height": 4}
+    # codec formats remain an explicit, clearly-marked stub
     with pytest.raises(NotImplementedError):
-        real_decoder(b"\x89PNG")
+        real_decoder(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        real_decoder(b"BM" + b"\x00" * 64)  # malformed BMP is loud here
+
+
+def test_image_features_outcomes(spark):
+    """The graceful kernel: real BMP decode, codec_unavailable for JPEG/PNG
+    magic, undecodable for garbage/null — the stage never fails."""
+    from html_parser_spark.core.image import synth_bmp
+    from html_parser_spark.operators.multimodal import image_features
+
+    rows = [
+        ("bmp", bytearray(synth_bmp(5, 3, (10, 20, 30)))),
+        ("jpg", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 8)),
+        ("garbage", bytearray(b"not an image")),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r["doc_id"]: r for r in image_features(df).collect()}
+    b = got["bmp"]
+    assert (b["outcome"], b["width"], b["height"], b["n_px"]) == ("decoded", 5, 3, 15)
+    # constant fill + one white corner pixel: sums have a closed form
+    assert (b["sum_r"], b["sum_g"], b["sum_b"]) == (
+        10 * 14 + 255, 20 * 14 + 255, 30 * 14 + 255)
+    assert (got["jpg"]["format"], got["jpg"]["outcome"]) == ("jpeg", "codec_unavailable")
+    assert got["garbage"]["outcome"] == "undecodable"
+    assert got["nul"]["outcome"] == "undecodable"
+
+
+def test_bmp_decode_matches_numpy_reference():
+    """Property: random fills/dimensions round-trip through the BMP
+    writer/decoder, including resize."""
+    import numpy as np
+
+    from html_parser_spark.core.image import decode_bmp, resize_nearest, synth_bmp
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        fill = tuple(int(x) for x in rng.randint(0, 256, 3))
+        img = decode_bmp(synth_bmp(w, h, fill))
+        assert img.shape == (h, w, 3)
+        want = np.zeros((h, w, 3), np.uint8)
+        want[:, :] = fill
+        want[0, 0] = 255
+        assert (img == want).all()
+        t = resize_nearest(img, 4, 4)
+        assert t.shape == (4, 4, 3)
