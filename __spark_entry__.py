@@ -354,6 +354,25 @@ def q_multimodal_image(spark, sf_dir):
     return image_features(attach_bmp(_docs(spark, sf_dir)))
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode end-to-end: synthesize a PCM16 WAV per document
+    (square wave; params from md5(text) bytes 5..8) and decode with the
+    pure-Python RIFF kernel. Closed form: sum_abs = amp * n_samples * ch."""
+    from html_parser_spark.operators.multimodal import attach_wav, audio_features
+
+    return audio_features(attach_wav(_docs(spark, sf_dir)))
+
+
+def q_multimodal_video(spark, sf_dir):
+    """REAL video frame-sampling end-to-end: synthesize a YUV4MPEG2 stream
+    per document (constant-luma frames from md5(text) bytes 9..12), sample
+    every 2nd frame by offset arithmetic. Closed form per sampled frame:
+    sum_y = luma_f * width * height, luma_f = (b12 + 40*f) % 256."""
+    from html_parser_spark.operators.multimodal import attach_y4m, video_frame_sample
+
+    return video_frame_sample(attach_y4m(_docs(spark, sf_dir)), every=2)
+
+
 def q_layout_pdf(spark, sf_dir):
     """REAL PDF text extraction end-to-end: synthesize a valid 2-page PDF
     per document (title page + body page; half the corpus FlateDecode-
@@ -459,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
+        "multimodal_audio_meta": q_multimodal_audio,
+        "multimodal_video_frames": q_multimodal_video,
         "layout_pdf_text": q_layout_pdf,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_hourly": q_events_hourly,
@@ -973,6 +994,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(fg * (w * h - 1) + 255 AS BIGINT) AS sum_g,
                    CAST(fb * (w * h - 1) + 255 AS BIGINT) AS sum_b
             FROM d
+        """,
+        "multimodal_audio_meta": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     500 + 4 * CAST('0x' || substr(md5(text), 11, 2) AS INTEGER) AS ns,
+                     CAST('0x' || substr(md5(text), 13, 2) AS INTEGER) % 3 AS ri,
+                     1 + 4 * CAST('0x' || substr(md5(text), 15, 2) AS INTEGER) AS amp,
+                     1 + CAST('0x' || substr(md5(text), 17, 2) AS INTEGER) % 2 AS ch
+              FROM documents
+            )
+            SELECT doc_id, 'wav' AS format, 'decoded' AS outcome,
+                   CAST(CASE ri WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS INTEGER) AS rate,
+                   CAST(ch AS INTEGER) AS channels,
+                   CAST(ns AS INTEGER) AS n_samples,
+                   CAST(amp * ns * ch AS BIGINT) AS sum_abs
+            FROM d
+        """,
+        "multimodal_video_frames": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     2 + CAST('0x' || substr(md5(text), 19, 2) AS INTEGER) % 4 AS nf,
+                     2 * (2 + CAST('0x' || substr(md5(text), 21, 2) AS INTEGER) % 7) AS w,
+                     2 * (2 + CAST('0x' || substr(md5(text), 23, 2) AS INTEGER) % 5) AS h,
+                     CAST('0x' || substr(md5(text), 25, 2) AS INTEGER) AS l0
+              FROM documents
+            )
+            SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(nf AS INTEGER) AS n_frames, CAST(f AS INTEGER) AS frame,
+                   CAST(((l0 + 40 * f) % 256) * w * h AS BIGINT) AS sum_y
+            FROM d, range(6) t(f)
+            WHERE f < nf AND f % 2 = 0
         """,
         "layout_pdf_text": """
             WITH d AS (

@@ -201,6 +201,240 @@ def fake_decoder(payload: bytes) -> dict:
     return {"width": payload[0] if payload else 0, "height": payload[1] if len(payload) > 1 else 0}
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("format", StringType()),
+        StructField("outcome", StringType()),
+        StructField("rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+_WAV_RATES = (8000, 16000, 44100)
+
+
+def attach_wav(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload) with a REAL PCM16 WAV per document
+    (square wave; rate/channels/length/amplitude from md5(text) bytes 5..8,
+    so energy has the closed form amplitude * n_samples * channels)."""
+    from ..core.av import synth_wav
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                b = hashlib.md5((text or "").encode("utf-8")).digest()
+                payloads.append(
+                    synth_wav(
+                        n_samples=500 + 4 * b[5],
+                        rate=_WAV_RATES[b[6] % 3],
+                        amplitude=1 + 4 * b[7],
+                        channels=1 + b[8] % 2,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode over a binary column (mapInArrow): RIFF PCM16 WAV
+    decodes to rate/channels/sample-count + integer absolute energy; codec
+    formats (MP3 magic) surface outcome='codec_unavailable'; garbage
+    'undecodable'. The stage never fails on bad media."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.av import decode_wav
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("format", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("rate", pa.int32()),
+                pa.field("channels", pa.int32()),
+                pa.field("n_samples", pa.int32()),
+                pa.field("sum_abs", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            cols = {k: [] for k in ("id", "fmt", "oc", "rate", "ch", "n", "e")}
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                data = bytes(p) if p is not None else b""
+                d = decode_wav(data)
+                if d is not None:
+                    row = ("wav", "decoded", d["rate"], d["channels"], d["n_samples"], d["sum_abs"])
+                elif data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
+                    row = ("mp3", "codec_unavailable", 0, 0, 0, 0)
+                else:
+                    row = ("unknown", "undecodable", 0, 0, 0, 0)
+                cols["id"].append(str(doc_id))
+                for k, v in zip(("fmt", "oc", "rate", "ch", "n", "e"), row):
+                    cols[k].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["id"], pa.string()),
+                    pa.array(cols["fmt"], pa.string()),
+                    pa.array(cols["oc"], pa.string()),
+                    pa.array(cols["rate"], pa.int32()),
+                    pa.array(cols["ch"], pa.int32()),
+                    pa.array(cols["n"], pa.int32()),
+                    pa.array(cols["e"], pa.int64()),
+                ],
+                schema=schema,
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame", IntegerType()),
+        StructField("sum_y", LongType()),
+    ]
+)
+
+
+def attach_y4m(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload) with a REAL YUV4MPEG2 stream per
+    document (constant-luma frames; dims/frame-count/lumas from md5(text)
+    bytes 9..12: luma of frame f = (b12 + 40*f) % 256)."""
+    from ..core.av import synth_y4m
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                b = hashlib.md5((text or "").encode("utf-8")).digest()
+                n_frames = 2 + b[9] % 4
+                w = 2 * (2 + b[10] % 7)
+                h = 2 * (2 + b[11] % 5)
+                lumas = [(b[12] + 40 * f) % 256 for f in range(n_frames)]
+                payloads.append(synth_y4m(w, h, lumas))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL video frame-sampling over a binary column (mapInArrow): every
+    `every`-th frame of a y4m stream is decoded (luma-plane integer sum);
+    the frames in between are skipped by offset arithmetic — the per-frame
+    cost of sampling is paid ONLY for sampled frames, which is the property
+    that matters for multi-GB videos. One output row per sampled frame;
+    malformed payloads yield zero rows."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.av import y4m_info, y4m_sample_frames
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+                pa.field("n_frames", pa.int32()),
+                pa.field("frame", pa.int32()),
+                pa.field("sum_y", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            cols = {k: [] for k in ("id", "w", "h", "nf", "f", "y")}
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                data = bytes(p) if p is not None else b""
+                info = y4m_info(data)
+                frames = y4m_sample_frames(data, every) if info else None
+                if not info or frames is None:
+                    continue
+                for fr in frames:
+                    cols["id"].append(str(doc_id))
+                    cols["w"].append(info["width"])
+                    cols["h"].append(info["height"])
+                    cols["nf"].append(info["n_frames"])
+                    cols["f"].append(fr["frame"])
+                    cols["y"].append(fr["sum_y"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["id"], pa.string()),
+                    pa.array(cols["w"], pa.int32()),
+                    pa.array(cols["h"], pa.int32()),
+                    pa.array(cols["nf"], pa.int32()),
+                    pa.array(cols["f"], pa.int32()),
+                    pa.array(cols["y"], pa.int64()),
+                ],
+                schema=schema,
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=VIDEO_FRAME_SCHEMA)
+
+
 def media_metadata(
     df: DataFrame,
     payload_col: str = "payload",

@@ -68,6 +68,62 @@ def test_image_features_outcomes(spark):
     assert got["nul"]["outcome"] == "undecodable"
 
 
+def test_audio_features_outcomes(spark):
+    from html_parser_spark.core.av import synth_wav
+    from html_parser_spark.operators.multimodal import audio_features
+
+    rows = [
+        ("wav", bytearray(synth_wav(100, 16000, 7, channels=2))),
+        ("mp3", bytearray(b"ID3\x03" + b"\x00" * 16)),
+        ("junk", bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r["doc_id"]: r for r in audio_features(df).collect()}
+    w = got["wav"]
+    assert (w["outcome"], w["rate"], w["channels"], w["n_samples"]) == (
+        "decoded", 16000, 2, 100)
+    assert w["sum_abs"] == 7 * 100 * 2
+    assert (got["mp3"]["format"], got["mp3"]["outcome"]) == ("mp3", "codec_unavailable")
+    assert got["junk"]["outcome"] == "undecodable"
+
+
+def test_video_frame_sampling(spark):
+    """Every 2nd frame decoded; untouched frames are skipped by offset
+    arithmetic; malformed payloads contribute zero rows."""
+    from html_parser_spark.core.av import synth_y4m
+    from html_parser_spark.operators.multimodal import video_frame_sample
+
+    rows = [
+        ("v1", bytearray(synth_y4m(4, 2, [5, 6, 7, 8, 9]))),
+        ("bad", bytearray(b"not video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = video_frame_sample(df, every=2).collect()
+    assert {r["doc_id"] for r in got} == {"v1"}
+    by_frame = {r["frame"]: r for r in got}
+    assert sorted(by_frame) == [0, 2, 4]
+    assert all((r["width"], r["height"], r["n_frames"]) == (4, 2, 5) for r in got)
+    assert [by_frame[f]["sum_y"] for f in (0, 2, 4)] == [5 * 8, 7 * 8, 9 * 8]
+
+
+def test_wav_chunk_walk_tolerates_extra_chunks():
+    """A LIST/INFO chunk between fmt and data (common in real WAVs) must
+    not break the RIFF walk; odd-size chunks pad to even."""
+    import struct
+
+    from html_parser_spark.core.av import decode_wav, synth_wav
+
+    base = synth_wav(10, 8000, 3)
+    fmt_at = base.find(b"fmt ")
+    data_at = base.find(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+    patched = base[:data_at] + extra + base[data_at:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    d = decode_wav(patched)
+    assert d == {"rate": 8000, "channels": 1, "n_samples": 10, "sum_abs": 30}
+    assert fmt_at > 0
+
+
 def test_bmp_decode_matches_numpy_reference():
     """Property: random fills/dimensions round-trip through the BMP
     writer/decoder, including resize."""
