@@ -124,6 +124,51 @@ def test_wav_chunk_walk_tolerates_extra_chunks():
     assert fmt_at > 0
 
 
+def test_wav_y4m_round_trip_property():
+    """Hypothesis fuzz: WAV and Y4M writers/decoders round-trip for
+    arbitrary parameters (closed-form energies/luma sums)."""
+    from hypothesis import given, settings, strategies as st
+
+    from html_parser_spark.core.av import (
+        decode_wav,
+        synth_wav,
+        synth_y4m,
+        y4m_info,
+        y4m_sample_frames,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        amp=st.integers(0, 2000),
+        ch=st.integers(1, 2),
+    )
+    def wav(n, rate, amp, ch):
+        d = decode_wav(synth_wav(n, rate, amp, channels=ch))
+        assert d == {
+            "rate": rate, "channels": ch, "n_samples": n, "sum_abs": amp * n * ch}
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 10).map(lambda x: 2 * x),
+        h=st.integers(1, 8).map(lambda x: 2 * x),
+        lumas=st.lists(st.integers(0, 255), min_size=1, max_size=6),
+        every=st.integers(1, 3),
+    )
+    def y4m(w, h, lumas, every):
+        data = synth_y4m(w, h, lumas)
+        assert y4m_info(data) == {"width": w, "height": h, "n_frames": len(lumas)}
+        got = y4m_sample_frames(data, every)
+        assert got == [
+            {"frame": f, "sum_y": lumas[f] * w * h}
+            for f in range(0, len(lumas), every)
+        ]
+
+    wav()
+    y4m()
+
+
 def test_bmp_decode_matches_numpy_reference():
     """Property: random fills/dimensions round-trip through the BMP
     writer/decoder, including resize."""
