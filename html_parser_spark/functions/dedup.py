@@ -9,8 +9,9 @@ arithmetic), and shuffle-conscious:
                quadratic in the corpus; at 100 TB you run minhash_lsh first
                and feed ONLY candidate pairs here.
   - minhash:   k min-hashes from md5(seed|shingle); banded LSH buckets ->
-               candidate pairs via a bucket equi-join (the scale path:
-               shuffle is O(docs*k), candidates O(near-dups)).
+               candidate pairs via ONE bucket groupBy + in-bucket expansion,
+               broadcast-semi-joined verification (the scale path: shuffle
+               is O(docs*k), candidates O(near-dups)).
   - simhash:   32-bit sign-aggregated word-hash fingerprint computed in ONE
                per-doc fold (shuffle-free narrow projection); hamming-close
                docs collide on the integer.

@@ -441,7 +441,9 @@ def media_metadata(
     id_col: str = "doc_id",
     decoder: Callable[[bytes], dict] = fake_decoder,
 ) -> DataFrame:
-    """Arrow-batched metadata + (stub-)decode over a binary column.
+    """Arrow-batched metadata + pluggable decode over a binary column
+    (default: the deterministic fake used by the closed-form gate; the REAL
+    decode paths are image_features / audio_features / video_frame_sample).
 
     One mapInPandas crossing; bytes stay in Arrow buffers until the kernel
     touches them. Batch size is governed by
