@@ -175,9 +175,10 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 def q_text_topk_terms(spark, sf_dir):
-    """Corpus-level term document-frequency, top-50 by (df desc, term) —
-    a deterministic cut even with ties."""
-    return TXT.doc_frequency(_docs(spark, sf_dir), top_n=50)
+    """Corpus-level term document-frequency, top-20 by (df desc, term) —
+    a deterministic cut even with ties (the corpus vocabulary is larger
+    than the cut, so the tie-break genuinely decides the boundary)."""
+    return TXT.doc_frequency(_docs(spark, sf_dir), top_n=20)
 
 
 def q_text_tfidf(spark, sf_dir):
@@ -790,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, COUNT(*) AS df
             FROM t GROUP BY term
-            ORDER BY df DESC, term LIMIT 50
+            ORDER BY df DESC, term LIMIT 20
         """,
         "text_tfidf": """
             WITH w AS (
