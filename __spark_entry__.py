@@ -801,7 +801,7 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
             dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
             tot AS (SELECT COUNT(*) AS n_docs FROM documents),
-            dl AS (SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY 1),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
             s AS (
               SELECT tf.doc_id, tf.term, tf.tf, dft.df,
                      (1000000 * tf.tf * tot.n_docs)
