@@ -45,11 +45,14 @@ def main() -> None:
     from html_parser_spark.operators.extract import extract_spans
     from html_parser_spark.sources.interleave import interleaved_from_documents
 
+    from html_parser_spark.session import apply_scale_confs
+
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("html-parser-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        apply_scale_confs(
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("html-parser-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()

@@ -43,7 +43,13 @@ def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     loop accumulate cached tables. A weakref finalizer gives deterministic
     release in loops (each iteration drops the previous result) without
     forcing eager evaluation inside a lazy API. Callers that want immediate
-    release can simply `del` the result (or let it fall out of scope)."""
+    release can simply `del` the result (or let it fall out of scope).
+
+    CONTRACT: hold the returned DataFrame object itself across all actions.
+    Deriving a child plan (`result.where(...)`) and dropping the original
+    reference lets GC unpersist the cache mid-use — still correct (Spark
+    recomputes) but the persist benefit silently vanishes. Keep `result`
+    alive, run actions, then drop it."""
     jdf = cached._jdf
 
     def _cleanup(jdf=jdf):
@@ -95,8 +101,10 @@ def exact_groups(corpus: DataFrame) -> DataFrame:
     )
 
 
-def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, source, g): distinct HASHED word n-gram shingles per document.
+def shingle_array_expr(n: int = 3) -> str:
+    """SQL expression: the distinct HASHED word n-gram shingle set of `text`
+    as an array<bigint> — the narrow-projection building block shared by the
+    exploded `shingles` table and the projection-only LSH path.
 
     Shingles are hashed to 60-bit ints (first 15 md5 hex chars) before the
     set operations — the standard web-scale trick: the Jaccard join/shuffle
@@ -119,11 +127,18 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
         f"filter(zip_with({bigrams}, slice({w}, 3, greatest(size({w}) - 2, 0)), "
         "(xy, z) -> concat(xy, ' ', z)), s -> s is not null)"
     )
-    hashed = (
+    return (
         f"array_distinct(transform({trigrams}, "
         "g -> cast(conv(substr(md5(g),1,15),16,10) as bigint)))"
     )
-    return corpus.select("doc_id", "source", F.explode(F.expr(hashed)).alias("g"))
+
+
+def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, source, g): distinct hashed shingles, one row per shingle —
+    the exploded form used by the join-based Jaccard reference path."""
+    return corpus.select(
+        "doc_id", "source", F.explode(F.expr(shingle_array_expr(n))).alias("g")
+    )
 
 
 def _doc_sizes(sh: DataFrame) -> DataFrame:
@@ -231,6 +246,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = LSH_ROWS_PER_BAND,
     threshold_permille: int = JACCARD_THRESHOLD_PERMILLE,
     max_bucket: int = 10_000,
+    observation=None,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection (the 100 TB scale path): banded bucket
     grouping proposes candidates, exact Jaccard verifies — restricted to the
@@ -241,22 +257,56 @@ def minhash_lsh_pairs(
     duplicates (the driver's documents table contains planted near-dups
     across sources — verified: LSH finds them, blocked Jaccard cannot).
 
-    Scale shape (the parts that matter at 10^12 docs):
+    Scale shape (the parts that matter at 10^12 docs), round-3 fused form —
+    TWO shuffles total, everything else narrow or broadcast:
+      - signatures and doc sizes are NARROW PROJECTIONS over the per-doc
+        shingle array (array_min over a transform), not an explode + groupBy:
+        a doc's shingles never leave its row, so the old signature shuffle
+        and the explode are gone entirely;
       - candidates come from ONE groupBy on (band, key) + an in-bucket pair
         expansion — not a bands self-join (which shuffles the band table
         twice and builds a join hash table for data that is 99% singleton
-        buckets);
+        buckets); the only other shuffle is the pair distinct;
       - max_bucket drops degenerate buckets (boilerplate/empty docs sharing
         a signature would expand quadratically; >max_bucket docs in one
         bucket means the pairs are near-identical junk better handled by
-        exact dedup) — dropped buckets are counted nowhere else, so choose
-        the cap consciously;
-      - verification never shuffles the full shingle table: the candidate
-        doc-id sets (small by construction) are broadcast-semi-joined
-        against the shingles first, so the wide (doc, g) join runs over
-        O(candidate docs x shingles) rows, not O(corpus x shingles)."""
-    sh = shingles(corpus).persist()
-    bands = lsh_band_keys(minhash_signatures_from(sh, k), k, rows_per_band)
+        exact dedup). Pass an `observation` (pyspark.sql.Observation) to
+        COUNT the loss: it records `dropped_buckets` and `dropped_doc_slots`
+        (bucket-membership slots, a doc dropped from several bands counts
+        once per band) when the candidate set materializes — no silent
+        coverage loss at scale;
+      - verification is array_intersect over the candidate docs' shingle
+        arrays, attached via one broadcast semi-join + one broadcast hash
+        join per side (the two BroadcastExchanges are identical subplans, so
+        Spark reuses one): the corpus-wide shingle set is never shuffled and
+        never joined wide. Cost O(candidate docs x shingles).
+    Mega-doc caveat: the per-doc array form assumes a bounded document size
+    (the extraction pipeline upstream enforces this); for pathological
+    single-doc shingle sets beyond executor row limits, the exploded
+    jaccard_pairs path degrades more gracefully."""
+    # persisted: the array table feeds the band path AND the verify path, and
+    # without the cache barrier Catalyst inlines the shingle expression into
+    # every consumer branch (x3 again under plant_dups-style unions — measured
+    # 18 md5 passes); the filter sits ABOVE the cache so predicate pushdown
+    # cannot substitute the alias either. Rows are doc_id + ~|doc| bigints —
+    # strictly smaller than the exploded (doc, g) table the join-verify
+    # formulation cached.
+    garr_all = corpus.select(
+        "doc_id", F.expr(shingle_array_expr()).alias("garr")
+    ).persist()
+    garr = garr_all.where(
+        F.expr("size(garr) > 0")  # docs with <3 words have no shingles (the
+        # exploded form drops them implicitly; here it also keeps the empty
+        # docs from colliding into one degenerate bucket)
+    )
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(garr, g -> "
+            f"pmod({a}L * pmod(g, {MINHASH_P}L) + {b}L, {MINHASH_P}L)))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    bands = lsh_band_keys(garr.select("doc_id", *sig_cols), k, rows_per_band)
     # ids_s is re-evaluated per outer lambda element (expression, not a bound
     # column) — bounded by max_bucket, and real buckets are tiny; the O(n^2)
     # pair output is the actual product here, unlike the split-indexing trap
@@ -265,13 +315,27 @@ def minhash_lsh_pairs(
         "transform(slice(ids_s, i + 2, greatest(size(ids_s) - i - 1, 0)), "
         "b -> struct(a as doc_a, b as doc_b))))"
     )
-    # persisted: the pair set feeds three consumers (the verify join + both
-    # broadcast semi-join sides) and is small by construction; released with
-    # the result like the shingle cache
+    buckets = bands.groupBy("band", "key").agg(F.collect_list("doc_id").alias("ids"))
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.coalesce(
+                F.sum(F.expr(f"case when size(ids) > {max_bucket} then 1 else 0 end")),
+                F.lit(0),
+            ).alias("dropped_buckets"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"case when size(ids) > {max_bucket} then size(ids) else 0 end"
+                    )
+                ),
+                F.lit(0),
+            ).alias("dropped_doc_slots"),
+        )
+    # persisted: the pair set feeds the candidate-doc semi-join and the final
+    # verify join; small by construction; released with the result
     candidates = (
-        bands.groupBy("band", "key")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where((F.expr("size(ids)") > 1) & (F.expr("size(ids)") <= max_bucket))
+        buckets.where((F.expr("size(ids)") > 1) & (F.expr("size(ids)") <= max_bucket))
         .select(F.expr("array_sort(ids)").alias("ids_s"))
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -279,28 +343,27 @@ def minhash_lsh_pairs(
         .persist()
     )
     # verification restricted to CANDIDATES (the whole point of LSH): shrink
-    # each shingle side to candidate docs via a broadcast semi-join BEFORE
-    # the wide join — cost O(candidates x shingles), never the corpus
-    sizes = _doc_sizes(sh)
-    cand_a = candidates.select(F.col("doc_a").alias("doc_id")).distinct()
-    cand_b = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
-    sh_a = sh.join(F.broadcast(cand_a), "doc_id", "left_semi").select(
-        F.col("doc_id").alias("doc_a"), "g"
+    # the array table to candidate docs (broadcast semi-join — narrow over
+    # the corpus scan), then attach each side's array by broadcast hash join
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sh_b = sh.join(F.broadcast(cand_b), "doc_id", "left_semi").select(
-        F.col("doc_id").alias("doc_b"), "g"
+    cand_arr = garr.join(F.broadcast(cand_ids), "doc_id", "left_semi").withColumn(
+        "sz", F.expr("size(garr)")
     )
-    inter = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    ca, cb = cand_arr.alias("ca"), cand_arr.alias("cb")
     result = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(ca.garr, cb.garr))").alias("inter"),
+            F.col("ca.sz").alias("sz_a"),
+            F.col("cb.sz").alias("sz_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -310,7 +373,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jacc_permille") >= threshold_permille)
     )
-    return _unpersist_with(_unpersist_with(result, sh), candidates)
+    return _unpersist_with(_unpersist_with(result, garr_all), candidates)
 
 
 def simhash_expr(text_col: str = "text") -> str:

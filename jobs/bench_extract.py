@@ -35,7 +35,11 @@ def main(argv=None) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = SparkSession.builder.appName(f"{args.op}-bench").getOrCreate()
+    from html_parser_spark.session import apply_scale_confs
+
+    spark = apply_scale_confs(
+        SparkSession.builder.appName(f"{args.op}-bench")
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def build_out():

@@ -41,7 +41,11 @@ def main(argv=None) -> int:
     from html_parser_spark.sources.checkpoint import ExtractCheckpointJob
     from html_parser_spark.sources.fixtures import synth_docs
 
-    spark = SparkSession.builder.appName("html-parser-spark-extract").getOrCreate()
+    from html_parser_spark.session import apply_scale_confs
+
+    spark = apply_scale_confs(
+        SparkSession.builder.appName("html-parser-spark-extract")
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     if args.input:

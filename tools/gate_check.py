@@ -45,11 +45,16 @@ def main():
 
     from pyspark.sql import SparkSession
 
+    from html_parser_spark.session import apply_scale_confs
+
     spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
-        .appName("gate-check")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.adaptive.enabled", "true")
+        apply_scale_confs(
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+            )
+            .appName("gate-check")
+            .config("spark.sql.shuffle.partitions", "16")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()

@@ -36,10 +36,14 @@ def main() -> int:
 
     import __spark_entry__ as E
 
+    from html_parser_spark.session import apply_scale_confs
+
     spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("plan-audit")
-        .config("spark.sql.shuffle.partitions", "16")
+        apply_scale_confs(
+            SparkSession.builder.master("local[8]")
+            .appName("plan-audit")
+            .config("spark.sql.shuffle.partitions", "16")
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

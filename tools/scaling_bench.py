@@ -87,7 +87,8 @@ import sys; sys.path.insert(0, {REPO!r})
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from html_parser_spark.sources.interleave import interleaved_from_documents
-spark = SparkSession.builder.master("local[8]").config("spark.ui.enabled","false").getOrCreate()
+from html_parser_spark.session import apply_scale_confs
+spark = apply_scale_confs(SparkSession.builder.master("local[8]").config("spark.ui.enabled","false")).getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({args.sf_dir!r} + "/documents.parquet")
 reps = spark.range({args.amplify}).select(F.col("id").alias("rep"))
