@@ -355,6 +355,19 @@ def q_multimodal_image(spark, sf_dir):
     return image_features(attach_bmp(_docs(spark, sf_dir)))
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL PNG decode end-to-end: synthesize an 8-bit truecolor PNG per
+    document (params from the FRESH stream md5(text||'png'): dims c0/c1,
+    fill c2..c4, RGBA iff c5 odd; rows cycle all five PNG filters) and
+    decode it fully in pure Python + stdlib zlib (core/image.py: chunk walk,
+    CRC check, inflate, Sub/Up/Average/Paeth unfiltering). Closed form as
+    for BMP: n_px = w*h, per-RGB-channel sum = fill*(n_px-1) + 255 (alpha
+    excluded from sums)."""
+    from html_parser_spark.operators.multimodal import attach_png, image_features
+
+    return image_features(attach_png(_docs(spark, sf_dir)))
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL audio decode end-to-end: synthesize a PCM16 WAV per document
     (square wave; params from md5(text) bytes 5..8) and decode with the
@@ -479,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
+        "multimodal_png_decode": q_multimodal_png,
         "multimodal_audio_meta": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
         "layout_pdf_text": q_layout_pdf,
@@ -989,6 +1003,24 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, 'bmp' AS format, 'decoded' AS outcome,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(w * h AS INTEGER) AS n_px,
+                   CAST(fr * (w * h - 1) + 255 AS BIGINT) AS sum_r,
+                   CAST(fg * (w * h - 1) + 255 AS BIGINT) AS sum_g,
+                   CAST(fb * (w * h - 1) + 255 AS BIGINT) AS sum_b
+            FROM d
+        """,
+        "multimodal_png_decode": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     4 + CAST('0x' || substr(md5(text || 'png'), 1, 2) AS INTEGER) % 13 AS w,
+                     4 + CAST('0x' || substr(md5(text || 'png'), 3, 2) AS INTEGER) % 13 AS h,
+                     CAST('0x' || substr(md5(text || 'png'), 5, 2) AS INTEGER) AS fr,
+                     CAST('0x' || substr(md5(text || 'png'), 7, 2) AS INTEGER) AS fg,
+                     CAST('0x' || substr(md5(text || 'png'), 9, 2) AS INTEGER) AS fb
+              FROM documents
+            )
+            SELECT doc_id, 'png' AS format, 'decoded' AS outcome,
                    CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
                    CAST(w * h AS INTEGER) AS n_px,
                    CAST(fr * (w * h - 1) + 255 AS BIGINT) AS sum_r,

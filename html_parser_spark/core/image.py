@@ -1,21 +1,30 @@
 """Minimal pure-Python image decode + synthesis (stdlib + numpy only).
 
 The multimodal branch treats media as opaque binary columns; this module
-makes the DECODE step real for the uncompressed formats a pure-Python
-kernel can honestly handle — 24-bit uncompressed BMP (BITMAPINFOHEADER,
-bottom-up or top-down) — built from the public BMP file-format layout.
-Compressed codecs (JPEG/PNG/...) genuinely require codec libraries that
-are not in this container; `sniff_format` routes them to an explicit
-'codec_unavailable' outcome instead of a fake decode.
+makes the DECODE step real for the formats a pure-Python kernel can
+honestly handle:
 
-A matching writer (`synth_bmp`) emits correct deterministic BMPs so
-fixtures and the gate query exercise the decoder end-to-end, and
+- 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up or top-down), from
+  the public BMP file-format layout;
+- 8-bit non-interlaced truecolor PNG (RGB and RGBA) — PNG's compression is
+  zlib, which IS in the stdlib, so a full decode (chunk walk, IHDR,
+  concatenated IDAT inflate, all five scanline filters incl. Paeth) needs
+  no external codec. Palette/16-bit/interlaced PNGs return None.
+
+Genuinely codec-bound formats (JPEG/GIF/...) require libraries not in this
+container; `sniff_format` routes them to an explicit 'codec_unavailable'
+outcome instead of a fake decode.
+
+Matching writers (`synth_bmp`, `synth_png`) emit correct deterministic
+files so fixtures and the gate queries exercise the decoders end-to-end
+(the PNG writer cycles through all five filter types row by row), and
 `resize_nearest` provides the standard thumbnail step as pure arithmetic.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Optional
 
 import numpy as np
@@ -66,6 +75,161 @@ def decode_bmp(data: bytes) -> Optional[np.ndarray]:
         return np.ascontiguousarray(img)
     except Exception:
         return None
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over the byte lanes of one pixel."""
+    p = a.astype(np.int16) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def decode_png(data: bytes) -> Optional[np.ndarray]:
+    """8-bit non-interlaced truecolor PNG -> HxWx{3,4} uint8 array (RGB or
+    RGBA, row 0 = top). Full spec path for that class: chunk walk with CRC
+    verification, concatenated-IDAT zlib inflate, and all five scanline
+    filters (None/Sub/Up/Average/Paeth). Palette, sub-8-bit, 16-bit and
+    Adam7-interlaced images return None (honest unsupported, not a guess);
+    any malformed input returns None (never raises)."""
+    try:
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, ihdr, idat, ended = 8, None, [], False
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            ctype = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if len(body) != length or pos + 12 + length > len(data):
+                return None
+            (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                return None
+            if ctype == b"IHDR":
+                ihdr = body
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                ended = True
+                break
+            pos += 12 + length
+        if ihdr is None or not idat or not ended:
+            return None
+        w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+        if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+            return None
+        if not w or not h or w > 1 << 20 or h > 1 << 20:
+            return None
+        bpp = 3 if color == 2 else 4
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            return None
+        raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        ftypes, rows = raw[:, 0], raw[:, 1:]
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            f, row = int(ftypes[y]), rows[y]
+            if f == 0:  # None
+                rec = row.copy()
+            elif f == 1:  # Sub: per-lane prefix sum mod 256
+                rec = (
+                    np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.uint32) % 256
+                ).astype(np.uint8).reshape(stride)
+            elif f == 2:  # Up
+                rec = row + prev
+            elif f in (3, 4):  # Average / Paeth: sequential left dependency
+                rec = np.zeros(stride, dtype=np.uint8)
+                up = prev.reshape(w, bpp)
+                rowpx = row.reshape(w, bpp)
+                recpx = rec.reshape(w, bpp)
+                left = np.zeros(bpp, dtype=np.uint8)
+                upleft = np.zeros(bpp, dtype=np.uint8)
+                for x in range(w):
+                    if f == 3:
+                        pred = (
+                            (left.astype(np.int16) + up[x]) // 2
+                        ).astype(np.uint8)
+                    else:
+                        pred = _paeth(left, up[x], upleft)
+                    recpx[x] = rowpx[x] + pred
+                    left, upleft = recpx[x], up[x]
+            else:
+                return None
+            out[y] = rec
+            prev = rec
+        return out.reshape(h, w, bpp)
+    except Exception:
+        return None
+
+
+def synth_png(
+    width: int,
+    height: int,
+    fill_rgb: tuple[int, int, int],
+    corner_white: bool = True,
+    rgba: bool = False,
+) -> bytes:
+    """A correct 8-bit truecolor PNG (RGB, or RGBA with opaque alpha):
+    constant fill, optionally one white pixel at (0, 0). Row y uses filter
+    type y % 5, so a round-trip exercises every unfilter path (incl. the
+    Paeth corner cases). Deterministic bytes (fixed-level zlib)."""
+    bpp = 4 if rgba else 3
+    img = np.zeros((height, width, bpp), dtype=np.uint8)
+    img[:, :, :3] = fill_rgb
+    if rgba:
+        img[:, :, 3] = 255
+    if corner_white and width and height:
+        img[0, 0, :3] = (255, 255, 255)
+    flat = img.reshape(height, width * bpp)
+    lines = []
+    prev = np.zeros(width * bpp, dtype=np.uint8)
+    for y in range(height):
+        f = y % 5
+        rec = flat[y]
+        recpx = rec.reshape(width, bpp)
+        if f == 0:
+            enc = rec.copy()
+        elif f == 1:  # Sub
+            enc = recpx.astype(np.int16).copy()
+            enc[1:] -= recpx[:-1].astype(np.int16)
+            enc = (enc % 256).astype(np.uint8).reshape(width * bpp)
+        elif f == 2:  # Up
+            enc = rec - prev
+        else:  # Average (3) / Paeth (4)
+            up = prev.reshape(width, bpp)
+            enc2 = np.zeros((width, bpp), dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint8)
+            upleft = np.zeros(bpp, dtype=np.uint8)
+            for x in range(width):
+                if f == 3:
+                    pred = ((left.astype(np.int16) + up[x]) // 2).astype(np.uint8)
+                else:
+                    pred = _paeth(left, up[x], upleft)
+                enc2[x] = recpx[x] - pred
+                left, upleft = recpx[x], up[x]
+            enc = enc2.reshape(width * bpp)
+        lines.append(bytes([f]) + enc.tobytes())
+        prev = rec
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if rgba else 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -1,12 +1,13 @@
 """Multimodal column handling: image/audio/video as opaque `binary` columns
 with typed metadata, processed by Arrow-batched kernels.
 
-The DECODE step is REAL for uncompressed formats: 24-bit BMP decodes in
-pure Python+numpy (core/image.py — header parse, stride/bottom-up/BGR
-handling, nearest-neighbor thumbnails), validated end-to-end by the
-`multimodal_image_decode` gate query over synthesized BMPs. Compressed
-codecs (JPEG/PNG/GIF) genuinely require codec libraries absent from this
-container; they are sniffed by magic and surface an explicit
+The DECODE step is REAL for the formats a pure-Python kernel can honestly
+handle: 24-bit BMP and 8-bit truecolor PNG (zlib is stdlib, so the full
+inflate + five-filter scanline reconstruction runs without codec libs) in
+core/image.py, validated end-to-end by the `multimodal_image_decode` /
+`multimodal_png_decode` gate queries over synthesized files. Codec-bound
+formats (JPEG/GIF) genuinely require libraries absent from this container;
+they are sniffed by magic and surface an explicit
 outcome='codec_unavailable' row — an honest seam, not a fake decode.
 
 `attach_payload` derives a deterministic 16-byte binary payload per document
@@ -52,19 +53,19 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 def real_decoder(payload: bytes) -> dict:
     """Real decode for formats a pure-Python kernel can honestly handle
-    (24-bit BMP via core/image.py); codec formats (JPEG/PNG/GIF) raise the
-    explicit stub error — decoding them requires codec libraries not in
-    this container. For the graceful (row-outcome) form of the same
-    routing, use image_features()."""
-    from ..core.image import decode_bmp, sniff_format
+    (24-bit BMP, 8-bit truecolor PNG via core/image.py); codec formats
+    (JPEG/GIF) raise the explicit stub error — decoding them requires codec
+    libraries not in this container. For the graceful (row-outcome) form of
+    the same routing, use image_features()."""
+    from ..core.image import decode_bmp, decode_png, sniff_format
 
     fmt = sniff_format(payload)
-    if fmt == "bmp":
-        img = decode_bmp(payload)
+    if fmt in ("bmp", "png"):
+        img = decode_bmp(payload) if fmt == "bmp" else decode_png(payload)
         if img is None:
-            raise ValueError("malformed BMP payload")
+            raise ValueError(f"malformed or unsupported {fmt} payload")
         h, w = img.shape[:2]
-        return {"format": "bmp", "width": w, "height": h}
+        return {"format": fmt, "width": w, "height": h}
     raise NotImplementedError(
         f"decoding {fmt!r} requires codec libraries not present in this "
         "environment; wire a decoder via media_metadata(decoder=...)"
@@ -112,6 +113,55 @@ def attach_bmp(docs: DataFrame) -> DataFrame:
     ).mapInArrow(kernel, schema=out_schema)
 
 
+def attach_png(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary) with a REAL synthesized PNG per
+    document. Params come from a FRESH byte stream md5(text || 'png') — NOT
+    from md5(text), whose bytes b0..b12 are already claimed by the BMP/WAV/
+    Y4M fixtures (non-overlap rule): width = 4 + c0 % 13, height =
+    4 + c1 % 13, fill RGB = c2..c4, RGBA iff c5 is odd (alpha 255), one
+    white top-left pixel. Row filters cycle through all five PNG filter
+    types, so the gate decodes every unfilter path. Deterministic -> the
+    decode output has a closed-form SQL oracle."""
+    from ..core.image import synth_png
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                c = hashlib.md5(((text or "") + "png").encode("utf-8")).digest()
+                payloads.append(
+                    synth_png(
+                        4 + c[0] % 13,
+                        4 + c[1] % 13,
+                        (c[2], c[3], c[4]),
+                        rgba=c[5] % 2 == 1,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
 IMAGE_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -130,16 +180,18 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL image decode over a binary column (mapInArrow): BMPs decode to
-    dimensions + per-channel pixel sums (integer-exact — the oracle-able
-    feature form of mean color); codec formats surface
-    outcome='codec_unavailable', malformed bytes 'undecodable' — the stage
-    never fails on bad media."""
+    """REAL image decode over a binary column (mapInArrow): BMPs and 8-bit
+    truecolor PNGs decode to dimensions + per-channel pixel sums over RGB
+    (integer-exact — the oracle-able feature form of mean color; PNG alpha
+    is excluded from the sums); codec formats (JPEG/GIF) surface
+    outcome='codec_unavailable', malformed bytes or unsupported PNG
+    subtypes (palette/16-bit/interlaced) 'undecodable' — the stage never
+    fails on bad media."""
 
     def kernel(batches):
         import pyarrow as pa
 
-        from ..core.image import decode_bmp, sniff_format
+        from ..core.image import decode_bmp, decode_png, sniff_format
 
         schema = pa.schema(
             [
@@ -163,12 +215,17 @@ def image_features(
                 p = payloads[j].as_py()
                 data = bytes(p) if p is not None else b""
                 fmt = sniff_format(data)
-                img = decode_bmp(data) if fmt == "bmp" else None
+                if fmt == "bmp":
+                    img = decode_bmp(data)
+                elif fmt == "png":
+                    img = decode_png(data)
+                else:
+                    img = None
                 if img is not None:
                     h, w = img.shape[:2]
-                    sums = img.reshape(-1, 3).sum(axis=0, dtype="int64")
+                    sums = img[:, :, :3].reshape(-1, 3).sum(axis=0, dtype="int64")
                     row = ("decoded", w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]))
-                elif fmt in ("jpeg", "png", "gif"):
+                elif fmt in ("jpeg", "gif"):
                     row = ("codec_unavailable", 0, 0, 0, 0, 0, 0)
                 else:
                     row = ("undecodable", 0, 0, 0, 0, 0, 0)

@@ -32,20 +32,24 @@ def test_null_payload_safe(spark):
     assert (r["n_bytes"], r["magic"], r["checksum"]) == (0, "", 0)
 
 
-def test_real_decoder_decodes_bmp_and_stubs_codecs():
-    from html_parser_spark.core.image import synth_bmp
+def test_real_decoder_decodes_bmp_png_and_stubs_codecs():
+    from html_parser_spark.core.image import synth_bmp, synth_png
 
     d = real_decoder(synth_bmp(6, 4, (9, 8, 7)))
     assert d == {"format": "bmp", "width": 6, "height": 4}
+    d = real_decoder(synth_png(7, 5, (9, 8, 7), rgba=True))
+    assert d == {"format": "png", "width": 7, "height": 5}
     # codec formats remain an explicit, clearly-marked stub
     with pytest.raises(NotImplementedError):
-        real_decoder(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        real_decoder(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
     with pytest.raises(ValueError):
         real_decoder(b"BM" + b"\x00" * 64)  # malformed BMP is loud here
+    with pytest.raises(ValueError):
+        real_decoder(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)  # malformed PNG too
 
 
 def test_image_features_outcomes(spark):
-    """The graceful kernel: real BMP decode, codec_unavailable for JPEG/PNG
+    """The graceful kernel: real BMP decode, codec_unavailable for JPEG/GIF
     magic, undecodable for garbage/null — the stage never fails."""
     from html_parser_spark.core.image import synth_bmp
     from html_parser_spark.operators.multimodal import image_features
@@ -188,3 +192,117 @@ def test_bmp_decode_matches_numpy_reference():
         assert (img == want).all()
         t = resize_nearest(img, 4, 4)
         assert t.shape == (4, 4, 3)
+
+
+def test_png_round_trip_all_filters():
+    """Property: the PNG writer cycles filter types per row (y % 5), so any
+    height >= 5 exercises None/Sub/Up/Average/Paeth; decode must reproduce
+    the constant fill + white corner exactly, RGB and RGBA."""
+    import numpy as np
+
+    from html_parser_spark.core.image import decode_png, synth_png
+
+    rng = np.random.RandomState(11)
+    for _ in range(25):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(5, 40))
+        fill = tuple(int(x) for x in rng.randint(0, 256, 3))
+        rgba = bool(rng.randint(0, 2))
+        img = decode_png(synth_png(w, h, fill, rgba=rgba))
+        assert img is not None
+        assert img.shape == (h, w, 4 if rgba else 3)
+        assert tuple(img[0, 0, :3]) == (255, 255, 255)
+        want = np.zeros((h, w, 3), np.uint8)
+        want[:, :] = fill
+        want[0, 0] = 255
+        assert (img[:, :, :3] == want).all()
+        if rgba:
+            assert (img[:, :, 3] == 255).all()
+
+
+def test_png_decode_arbitrary_content():
+    """Unfiltering vs a filter-0-only reference encoding: random pixel
+    content (not just constant fills) survives the round trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from html_parser_spark.core.image import decode_png
+
+    def raw_png(img):
+        h, w, c = img.shape
+        lines = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b))
+                + t
+                + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(lines))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(13)
+    for c in (3, 4):
+        img = rng.randint(0, 256, (9, 11, c), dtype=np.uint8)
+        got = decode_png(raw_png(img))
+        assert got is not None and (got == img).all()
+
+
+def test_png_malformed_and_unsupported_return_none():
+    from html_parser_spark.core.image import decode_png, synth_png
+
+    good = synth_png(6, 6, (1, 2, 3))
+    assert decode_png(good) is not None
+    assert decode_png(b"") is None
+    assert decode_png(good[:-5]) is None  # truncated: IEND lost
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    assert decode_png(bytes(bad)) is None
+    # unsupported subtype: flip color type to palette (recompute nothing;
+    # CRC now wrong, which is also a None -> assert via fresh bytes)
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    pal_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # color type 3
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", pal_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(pal) is None
+
+
+def test_image_features_decodes_png(spark):
+    from html_parser_spark.core.image import synth_png
+    from html_parser_spark.operators.multimodal import image_features
+
+    rows = [
+        ("rgb", bytearray(synth_png(5, 6, (10, 20, 30)))),
+        ("rgba", bytearray(synth_png(3, 7, (40, 50, 60), rgba=True))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r["doc_id"]: r for r in image_features(df).collect()}
+    a = got["rgb"]
+    assert (a["format"], a["outcome"], a["width"], a["height"], a["n_px"]) == (
+        "png", "decoded", 5, 6, 30)
+    assert (a["sum_r"], a["sum_g"], a["sum_b"]) == (
+        10 * 29 + 255, 20 * 29 + 255, 30 * 29 + 255)
+    b = got["rgba"]
+    assert (b["n_px"], b["sum_r"]) == (21, 40 * 20 + 255)  # alpha excluded
