@@ -226,7 +226,7 @@ def _read_hex(s: bytes, i: int) -> tuple[bytes, int]:
         return b"", j + 1
 
 
-_TOKEN_RE = re.compile(rb"\bBT\b|\bET\b|\bTj\b|\bTJ\b|'|\"|\(|<[^<]|/(\w+)\s+Do\b")
+_TOKEN_RE = re.compile(rb"\bBT\b|\bET\b|\bTj\b|\bTJ\b|'|\"|\(|<<|<[^<]|/(\w+)\s+Do\b")
 
 
 def _extract_content_blocks(content: bytes) -> list[tuple[str, str]]:
@@ -249,8 +249,8 @@ def _extract_content_blocks(content: bytes) -> list[tuple[str, str]]:
             pending.append(lit)
             continue
         if tok.startswith(b"<"):
-            if tok == b"<<" or content[m.start() : m.start() + 2] == b"<<":
-                i = m.start() + 2  # dict open, not a hex string
+            if tok == b"<<":
+                i = m.end()  # dict open (BDC property lists etc.), not a hex string
                 continue
             lit, i = _read_hex(content, m.start())
             pending.append(lit)
@@ -309,7 +309,9 @@ def pdf_text_blocks(data: bytes) -> list[tuple[int, int, str, str]]:
 # ---------------------------------------------------------------------------
 
 def _escape_literal(text: str) -> bytes:
-    b = text.encode("latin-1")
+    # errors="replace" keeps synth_pdf total over arbitrary text (the
+    # degrade-never-raise policy); non-latin-1 chars become '?'
+    b = text.encode("latin-1", errors="replace")
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 

@@ -141,3 +141,28 @@ def test_spark_payload_path_round_trips(spark):
     assert got[("2", 1)]["content"] == "one two three four"
     assert all(r["block_kind"] == "text" for r in rows)
     assert {r["media_ref"] for r in rows} == {"synth://1.pdf", "synth://2.pdf"}
+
+def test_pdf_inline_dict_not_misread_as_hex():
+    """A '<< .. >>' dict inside a content stream (marked-content BDC etc.)
+    must be SKIPPED, not parsed as a hex string whose bogus operand a later
+    Tj could emit. (The pre-fix token regex <[^<] could only fire on the
+    second '<' of '<<', so the dict guard was dead and '<' + '/MCID...'
+    became a phantom hex operand.)"""
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 62 >>\nstream\n"
+        b"/P << /MCID 0 >> BDC\nBT (real) Tj ET\nEMC\n"
+        b"BT <20> Tj ET\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
+    )
+    assert pdf_text_blocks(raw) == [(0, 0, "text", "real"), (0, 1, "text", " ")]
+
+
+def test_pdf_synth_total_over_non_latin1_text():
+    """synth_pdf must never raise inside an executor kernel: non-latin-1
+    characters degrade to '?' (errors='replace'), round-tripping as such."""
+    got = pdf_text_blocks(synth_pdf([["café 中文 ok"]]))
+    assert got == [(0, 0, "text", "café ?? ok")]
