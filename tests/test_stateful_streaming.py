@@ -114,3 +114,62 @@ def test_numeric_ids_survivor_is_numeric_min(spark, tmp_path):
 
     got = {r["content_key"]: r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert sorted(got.values()) == ["20", "9"]  # 9 < 10 < 100 numerically
+
+
+def test_banded_near_dup_across_batches(spark, tmp_path):
+    """dedup_stream_banded: a near copy (last word dropped, the planted-dup
+    recipe) arriving in a LATER batch is flagged because one of its minhash
+    bands was already claimed — the multi-probe case the simhash/md5 keys
+    cannot catch (the word SETS differ)."""
+    from html_parser_spark.streaming.stateful import (
+        dedup_stream_banded,
+        resolve_band_verdicts,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+
+    def run_once():
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+        q = (
+            dedup_stream_banded(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    batch1 = [("d1", t), ("d2", "totally different words in this one here")]
+    spark.createDataFrame(batch1, DOC_SCHEMA).write.mode("append").parquet(input_dir)
+    run_once()
+
+    time.sleep(1.1)  # distinct mtime so the file source sees new files
+    near = t.rsplit(" ", 1)[0]  # last word dropped
+    batch2 = [("d3", near), ("d4", "yet another unrelated document text stream")]
+    spark.createDataFrame(batch2, DOC_SCHEMA).write.mode("append").parquet(input_dir)
+    run_once()
+
+    verdicts = spark.read.parquet(out_dir)
+    got = {r["doc_id"]: r for r in resolve_band_verdicts(verdicts).collect()}
+    assert set(got) == {"d1", "d2", "d3", "d4"}
+    assert all(got[d]["n_bands"] == 4 for d in got)
+    assert not got["d1"]["is_dup"] and not got["d2"]["is_dup"]
+    assert not got["d4"]["is_dup"]
+    assert got["d3"]["is_dup"] and got["d3"]["dup_of"] == "d1"
+
+    # word-set-identical docs (what the simhash key catches) also collide
+    # here, within one batch: the min doc_id claims every band
+    time.sleep(1.1)
+    batch3 = [("d5", "omega psi chi phi upsilon tau"),
+              ("d6", "omega psi chi phi upsilon tau")]
+    spark.createDataFrame(batch3, DOC_SCHEMA).write.mode("append").parquet(input_dir)
+    run_once()
+    got3 = {r["doc_id"]: r for r in
+            resolve_band_verdicts(spark.read.parquet(out_dir)).collect()}
+    assert not got3["d5"]["is_dup"]
+    assert got3["d6"]["is_dup"] and got3["d6"]["dup_of"] == "d5"
