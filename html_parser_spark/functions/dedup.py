@@ -350,8 +350,11 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # bigint sizes/intersections: size() is int32, but the operator's output
+    # contract (shared with jaccard_pairs' count(*) form and the SQL oracle)
+    # is bigint — the driver hashes TYPED frames, so int32 here is a red gate
     cand_arr = garr.join(F.broadcast(cand_ids), "doc_id", "left_semi").withColumn(
-        "sz", F.expr("size(garr)")
+        "sz", F.expr("cast(size(garr) as bigint)")
     )
     ca, cb = cand_arr.alias("ca"), cand_arr.alias("cb")
     result = (
@@ -360,7 +363,9 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.expr("size(array_intersect(ca.garr, cb.garr))").alias("inter"),
+            F.expr("cast(size(array_intersect(ca.garr, cb.garr)) as bigint)").alias(
+                "inter"
+            ),
             F.col("ca.sz").alias("sz_a"),
             F.col("cb.sz").alias("sz_b"),
         )

@@ -1,10 +1,15 @@
 """Local emulation of the driver's correctness gate: run every
 __spark_entry__.queries() entry at a given sf and diff it against the
-matching oracle_sql() via DuckDB — row count, column names, and
+matching oracle_sql() via DuckDB — row count, column names,
 order-insensitive exact value comparison (doubles compared by repr, i.e.
-bit-exact).
+bit-exact), AND oracle column-type drift (the driver hashes TYPED pandas
+frames, so a DuckDB HUGEINT surfacing as float64 fails the driver even
+when every value matches — the text_tfidf bug class; DESCRIBE catches it
+here without re-running the query).
 
 Usage: PYTHONPATH=/root/repo python tools/gate_check.py [sf_dir] [query ...]
+With no arguments, runs BOTH sf0.01 and sf0.1 (type drift and int64
+headroom bugs only show up under typed hashing or bigger data).
 """
 
 from __future__ import annotations
@@ -23,6 +28,24 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# spark simpleString dtype -> acceptable DuckDB DESCRIBE column_type values.
+# The driver compares pandas dtypes after conversion; these pairs map to the
+# same pandas dtype on both sides. Complex/nested types are skipped.
+_TYPE_OK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "timestamp": {"TIMESTAMP WITH TIME ZONE"},
+    "binary": {"BLOB"},
+}
+
 
 def norm_cell(v):
     if v is None:
@@ -39,28 +62,24 @@ def rows_to_multiset(cols, rows):
     return sorted("\1".join(norm_cell(r[i]) for i in idx) for r in rows)
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def type_drift(spark_df, con, sql) -> list[str]:
+    """Column-type mismatches between the Spark schema and the oracle's
+    DESCRIBE output (planning only — the query is not executed)."""
+    try:
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception:
+        return []  # DESCRIBE unsupported for this statement: skip the check
+    otypes = {r[0]: r[1] for r in desc}
+    out = []
+    for f in spark_df.schema.fields:
+        want = _TYPE_OK.get(f.dataType.simpleString())
+        got = otypes.get(f.name)
+        if want is not None and got is not None and got not in want:
+            out.append(f"{f.name}: spark {f.dataType.simpleString()} vs oracle {got}")
+    return out
 
-    from pyspark.sql import SparkSession
 
-    from html_parser_spark.session import apply_scale_confs
-
-    spark = (
-        apply_scale_confs(
-            SparkSession.builder.master(
-                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
-            )
-            .appName("gate-check")
-            .config("spark.sql.shuffle.partitions", "16")
-        )
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def run_gate(spark, sf_dir: str, only: set[str]) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -98,6 +117,7 @@ def main():
         problems = []
         if sorted(cols) != sorted(ocols):
             problems.append(f"columns {sorted(cols)} != {sorted(ocols)}")
+        problems += [f"type drift: {d}" for d in type_drift(df, con, oracles[name])]
         if len(rows) != len(orows):
             problems.append(f"rowcount {len(rows)} != {len(orows)}")
         if not problems:
@@ -112,6 +132,40 @@ def main():
             print(f"FAIL {name}: " + " | ".join(problems))
         else:
             print(f"PASS {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
+    return failures
+
+
+def main():
+    if len(sys.argv) > 1:
+        sf_dirs = [sys.argv[1]]
+        only = set(sys.argv[2:])
+    else:
+        sf_dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+        only = set()
+
+    from pyspark.sql import SparkSession
+
+    from html_parser_spark.session import apply_scale_confs
+
+    spark = (
+        apply_scale_confs(
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+            )
+            .appName("gate-check")
+            .config("spark.sql.shuffle.partitions", "16")
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = 0
+    for sf_dir in sf_dirs:
+        if len(sf_dirs) > 1:
+            print(f"== {sf_dir} ==")
+        failures += run_gate(spark, sf_dir, only)
     spark.stop()
     print(f"\n{failures} failures")
     sys.exit(1 if failures else 0)
