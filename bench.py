@@ -90,6 +90,10 @@ def main() -> None:
     n_spans = 5 * n_docs  # closed-form for the wrap (sources/interleave.py)
 
     # ---- per-query timings ----------------------------------------------
+    # documented NON-scale reference paths (kept for exactness cross-checks;
+    # each has a scale-path twin): annotated so the sweep headline separates
+    # scale-path kernels from reference baselines
+    reference_paths = {"dedup_ngram_jaccard"}
     q_times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
@@ -115,6 +119,11 @@ def main() -> None:
         "cpus": cpus,
         "amplify": amplify,
         "walls": [round(w, 3) for w in walls],
+        "reference_path_queries": sorted(reference_paths),
+        "queries_wall_sec": round(sum(t for t in q_times.values() if t > 0), 3),
+        "queries_scale_wall_sec": round(
+            sum(t for n, t in q_times.items() if t > 0 and n not in reference_paths), 3
+        ),
     }
     # attach the latest two-cluster-size scaling evidence if recorded
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
