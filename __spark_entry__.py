@@ -58,6 +58,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the session's parallelism — for the
+    CPU-bound Python-kernel queries (media synth/decode, PDF parse): the
+    small-sf table is a single parquet split, which would run the whole
+    mapInArrow chain in ONE task; the round-robin Exchange costs ~nothing
+    against a 32x kernel speedup and is exactly what a production run over
+    few-but-huge input files needs too."""
+    return _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -352,7 +362,7 @@ def q_multimodal_image(spark, sf_dir):
     per-channel sum = fill*(n_px-1) + 255."""
     from html_parser_spark.operators.multimodal import attach_bmp, image_features
 
-    return image_features(attach_bmp(_docs(spark, sf_dir)))
+    return image_features(attach_bmp(_docs_spread(spark, sf_dir)))
 
 
 def q_multimodal_png(spark, sf_dir):
@@ -365,7 +375,7 @@ def q_multimodal_png(spark, sf_dir):
     excluded from sums)."""
     from html_parser_spark.operators.multimodal import attach_png, image_features
 
-    return image_features(attach_png(_docs(spark, sf_dir)))
+    return image_features(attach_png(_docs_spread(spark, sf_dir)))
 
 
 def q_multimodal_audio(spark, sf_dir):
@@ -374,7 +384,7 @@ def q_multimodal_audio(spark, sf_dir):
     pure-Python RIFF kernel. Closed form: sum_abs = amp * n_samples * ch."""
     from html_parser_spark.operators.multimodal import attach_wav, audio_features
 
-    return audio_features(attach_wav(_docs(spark, sf_dir)))
+    return audio_features(attach_wav(_docs_spread(spark, sf_dir)))
 
 
 def q_multimodal_video(spark, sf_dir):
@@ -384,7 +394,7 @@ def q_multimodal_video(spark, sf_dir):
     sum_y = luma_f * width * height, luma_f = (b12 + 40*f) % 256."""
     from html_parser_spark.operators.multimodal import attach_y4m, video_frame_sample
 
-    return video_frame_sample(attach_y4m(_docs(spark, sf_dir)), every=2)
+    return video_frame_sample(attach_y4m(_docs_spread(spark, sf_dir)), every=2)
 
 
 def q_layout_pdf(spark, sf_dir):
@@ -395,7 +405,7 @@ def q_layout_pdf(spark, sf_dir):
     page 0 block = the 3-word title, page 1 block = the body text."""
     from html_parser_spark.operators.layout import attach_pdf, parse_layout_payloads
 
-    return parse_layout_payloads(attach_pdf(_docs(spark, sf_dir)))
+    return parse_layout_payloads(attach_pdf(_docs_spread(spark, sf_dir)))
 
 
 def q_pipeline_clean_corpus(spark, sf_dir):

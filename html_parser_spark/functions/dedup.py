@@ -345,16 +345,22 @@ def minhash_lsh_pairs(
     # verification restricted to CANDIDATES (the whole point of LSH): shrink
     # the array table to candidate docs (broadcast semi-join — narrow over
     # the corpus scan), then attach each side's array by broadcast hash join
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .union(candidates.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # no distinct: a semi-join build side tolerates duplicate keys, and the
+    # dedup would cost one more shuffle stage for a table that is tiny anyway
+    cand_ids = candidates.select(F.col("doc_a").alias("doc_id")).union(
+        candidates.select(F.col("doc_b").alias("doc_id"))
     )
     # bigint sizes/intersections: size() is int32, but the operator's output
     # contract (shared with jaccard_pairs' count(*) form and the SQL oracle)
     # is bigint — the driver hashes TYPED frames, so int32 here is a red gate
-    cand_arr = garr.join(F.broadcast(cand_ids), "doc_id", "left_semi").withColumn(
-        "sz", F.expr("cast(size(garr) as bigint)")
+    # persisted: cand_arr is referenced by BOTH join sides, and without the
+    # cache barrier each side re-runs the whole semi-join subplan (AQE does
+    # not reuse the exchanges here — observed 4 BroadcastExchanges, 2 full
+    # array-table passes); the table is O(candidate docs), i.e. tiny
+    cand_arr = (
+        garr.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .withColumn("sz", F.expr("cast(size(garr) as bigint)"))
+        .persist()
     )
     ca, cb = cand_arr.alias("ca"), cand_arr.alias("cb")
     result = (
@@ -378,7 +384,9 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jacc_permille") >= threshold_permille)
     )
-    return _unpersist_with(_unpersist_with(result, garr_all), candidates)
+    for cached in (garr_all, candidates, cand_arr):
+        result = _unpersist_with(result, cached)
+    return result
 
 
 def simhash_expr(text_col: str = "text") -> str:
