@@ -378,6 +378,18 @@ def q_multimodal_png(spark, sf_dir):
     return image_features(attach_png(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode end-to-end: synthesize a GIF89a per document (params
+    from the FRESH stream md5(text||'gif'): dims d0/d1, fill d2..d4,
+    interlaced iff d5 odd) and decode it fully in pure Python (core/gif.py:
+    LZW with variable-width codes + clear/EOI, sub-block reassembly,
+    palette mapping, 4-pass interlace reorder). Closed form as for BMP/PNG:
+    n_px = w*h, per-channel sum = fill*(n_px-1) + 255."""
+    from html_parser_spark.operators.multimodal import attach_gif, image_features
+
+    return image_features(attach_gif(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL audio decode end-to-end: synthesize a PCM16 WAV per document
     (square wave; params from md5(text) bytes 5..8) and decode with the
@@ -503,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
         "multimodal_png_decode": q_multimodal_png,
+        "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_audio_meta": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
         "layout_pdf_text": q_layout_pdf,
@@ -1031,6 +1044,24 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, 'png' AS format, 'decoded' AS outcome,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(w * h AS INTEGER) AS n_px,
+                   CAST(fr * (w * h - 1) + 255 AS BIGINT) AS sum_r,
+                   CAST(fg * (w * h - 1) + 255 AS BIGINT) AS sum_g,
+                   CAST(fb * (w * h - 1) + 255 AS BIGINT) AS sum_b
+            FROM d
+        """,
+        "multimodal_gif_decode": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     4 + CAST('0x' || substr(md5(text || 'gif'), 1, 2) AS INTEGER) % 13 AS w,
+                     4 + CAST('0x' || substr(md5(text || 'gif'), 3, 2) AS INTEGER) % 13 AS h,
+                     CAST('0x' || substr(md5(text || 'gif'), 5, 2) AS INTEGER) AS fr,
+                     CAST('0x' || substr(md5(text || 'gif'), 7, 2) AS INTEGER) AS fg,
+                     CAST('0x' || substr(md5(text || 'gif'), 9, 2) AS INTEGER) AS fb
+              FROM documents
+            )
+            SELECT doc_id, 'gif' AS format, 'decoded' AS outcome,
                    CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
                    CAST(w * h AS INTEGER) AS n_px,
                    CAST(fr * (w * h - 1) + 255 AS BIGINT) AS sum_r,

@@ -2,13 +2,14 @@
 with typed metadata, processed by Arrow-batched kernels.
 
 The DECODE step is REAL for the formats a pure-Python kernel can honestly
-handle: 24-bit BMP and 8-bit truecolor PNG (zlib is stdlib, so the full
-inflate + five-filter scanline reconstruction runs without codec libs) in
-core/image.py, validated end-to-end by the `multimodal_image_decode` /
-`multimodal_png_decode` gate queries over synthesized files. Codec-bound
-formats (JPEG/GIF) genuinely require libraries absent from this container;
-they are sniffed by magic and surface an explicit
-outcome='codec_unavailable' row — an honest seam, not a fake decode.
+handle: 24-bit BMP, 8-bit truecolor PNG (stdlib zlib inflate + all five
+scanline filters) in core/image.py, and GIF (pure-Python LZW with
+variable-width codes + interlace, core/gif.py) — validated end-to-end by
+the `multimodal_image_decode` / `multimodal_png_decode` /
+`multimodal_gif_decode` gate queries over synthesized files. JPEG is the
+one genuinely codec-bound image format (DCT + entropy coding); it is
+sniffed by magic and surfaces an explicit outcome='codec_unavailable'
+row — an honest seam, not a fake decode.
 
 `attach_payload` derives a deterministic 16-byte binary payload per document
 (unhex(md5(text))) so the metadata kernel output has a closed-form SQL
@@ -53,15 +54,16 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 def real_decoder(payload: bytes) -> dict:
     """Real decode for formats a pure-Python kernel can honestly handle
-    (24-bit BMP, 8-bit truecolor PNG via core/image.py); codec formats
-    (JPEG/GIF) raise the explicit stub error — decoding them requires codec
-    libraries not in this container. For the graceful (row-outcome) form of
+    (24-bit BMP, 8-bit truecolor PNG via core/image.py, GIF via
+    core/gif.py); JPEG raises the explicit stub error — decoding it
+    requires a real codec library. For the graceful (row-outcome) form of
     the same routing, use image_features()."""
+    from ..core.gif import decode_gif
     from ..core.image import decode_bmp, decode_png, sniff_format
 
     fmt = sniff_format(payload)
-    if fmt in ("bmp", "png"):
-        img = decode_bmp(payload) if fmt == "bmp" else decode_png(payload)
+    if fmt in ("bmp", "png", "gif"):
+        img = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif}[fmt](payload)
         if img is None:
             raise ValueError(f"malformed or unsupported {fmt} payload")
         h, w = img.shape[:2]
@@ -162,6 +164,53 @@ def attach_png(docs: DataFrame) -> DataFrame:
     ).mapInArrow(kernel, schema=out_schema)
 
 
+def attach_gif(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary) with a REAL synthesized GIF
+    per document. Params come from the FRESH byte stream md5(text || 'gif')
+    (the md5(text) and md5(text||'png') streams are claimed — non-overlap
+    rule): width = 4 + d0 % 13, height = 4 + d1 % 13, fill RGB = d2..d4,
+    interlaced iff d5 is odd, one white top-left pixel. Deterministic ->
+    closed-form SQL oracle; interlacing exercises the 4-pass reorder."""
+    from ..core.gif import synth_gif
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                d = hashlib.md5(((text or "") + "gif").encode("utf-8")).digest()
+                payloads.append(
+                    synth_gif(
+                        4 + d[0] % 13,
+                        4 + d[1] % 13,
+                        (d[2], d[3], d[4]),
+                        interlace=d[5] % 2 == 1,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
 IMAGE_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -180,10 +229,10 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL image decode over a binary column (mapInArrow): BMPs and 8-bit
-    truecolor PNGs decode to dimensions + per-channel pixel sums over RGB
-    (integer-exact — the oracle-able feature form of mean color; PNG alpha
-    is excluded from the sums); codec formats (JPEG/GIF) surface
+    """REAL image decode over a binary column (mapInArrow): BMP, 8-bit
+    truecolor PNG, and GIF decode to dimensions + per-channel pixel sums
+    over RGB (integer-exact — the oracle-able feature form of mean color;
+    PNG alpha is excluded from the sums); JPEG surfaces
     outcome='codec_unavailable', malformed bytes or unsupported PNG
     subtypes (palette/16-bit/interlaced) 'undecodable' — the stage never
     fails on bad media."""
@@ -191,6 +240,7 @@ def image_features(
     def kernel(batches):
         import pyarrow as pa
 
+        from ..core.gif import decode_gif
         from ..core.image import decode_bmp, decode_png, sniff_format
 
         schema = pa.schema(
@@ -219,13 +269,15 @@ def image_features(
                     img = decode_bmp(data)
                 elif fmt == "png":
                     img = decode_png(data)
+                elif fmt == "gif":
+                    img = decode_gif(data)
                 else:
                     img = None
                 if img is not None:
                     h, w = img.shape[:2]
                     sums = img[:, :, :3].reshape(-1, 3).sum(axis=0, dtype="int64")
                     row = ("decoded", w, h, w * h, int(sums[0]), int(sums[1]), int(sums[2]))
-                elif fmt in ("jpeg", "gif"):
+                elif fmt == "jpeg":
                     row = ("codec_unavailable", 0, 0, 0, 0, 0, 0)
                 else:
                     row = ("undecodable", 0, 0, 0, 0, 0, 0)

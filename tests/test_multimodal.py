@@ -39,6 +39,10 @@ def test_real_decoder_decodes_bmp_png_and_stubs_codecs():
     assert d == {"format": "bmp", "width": 6, "height": 4}
     d = real_decoder(synth_png(7, 5, (9, 8, 7), rgba=True))
     assert d == {"format": "png", "width": 7, "height": 5}
+    from html_parser_spark.core.gif import synth_gif
+
+    d = real_decoder(synth_gif(3, 8, (1, 2, 3)))
+    assert d == {"format": "gif", "width": 3, "height": 8}
     # codec formats remain an explicit, clearly-marked stub
     with pytest.raises(NotImplementedError):
         real_decoder(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
@@ -49,7 +53,7 @@ def test_real_decoder_decodes_bmp_png_and_stubs_codecs():
 
 
 def test_image_features_outcomes(spark):
-    """The graceful kernel: real BMP decode, codec_unavailable for JPEG/GIF
+    """The graceful kernel: real BMP decode, codec_unavailable for JPEG
     magic, undecodable for garbage/null — the stage never fails."""
     from html_parser_spark.core.image import synth_bmp
     from html_parser_spark.operators.multimodal import image_features
@@ -306,3 +310,73 @@ def test_image_features_decodes_png(spark):
         10 * 29 + 255, 20 * 29 + 255, 30 * 29 + 255)
     b = got["rgba"]
     assert (b["n_px"], b["sum_r"]) == (21, 40 * 20 + 255)  # alpha excluded
+
+
+def test_gif_round_trip_including_interlace():
+    """Property: random dims/fills round-trip through the GIF writer/LZW
+    decoder, plain and interlaced; frame counting walks without decoding."""
+    import numpy as np
+
+    from html_parser_spark.core.gif import decode_gif, gif_frame_count, synth_gif
+
+    rng = np.random.RandomState(17)
+    for _ in range(20):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        fill = tuple(int(x) for x in rng.randint(0, 256, 3))
+        il = bool(rng.randint(0, 2))
+        data = synth_gif(w, h, fill, interlace=il)
+        img = decode_gif(data)
+        assert img is not None and img.shape == (h, w, 3)
+        want = np.zeros((h, w, 3), np.uint8)
+        want[:, :] = fill
+        want[0, 0] = 255
+        assert (img == want).all()
+        assert gif_frame_count(data) == 1
+
+
+def test_gif_lzw_property():
+    """LZW encode/decode round-trips arbitrary index streams at every
+    min-code-size, across the width-growth and table-reset boundaries."""
+    import numpy as np
+
+    from html_parser_spark.core.gif import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(23)
+    for _ in range(30):
+        bits = int(rng.randint(2, 9))
+        n = int(rng.randint(1, 8000))
+        data = rng.randint(0, 1 << bits, n).astype(np.uint8).tobytes()
+        got = _lzw_decode(_lzw_encode(data, bits), bits, n)
+        assert got is not None and bytes(got[:n]) == data
+
+
+def test_gif_malformed_returns_none():
+    from html_parser_spark.core.gif import decode_gif, gif_frame_count, synth_gif
+
+    good = synth_gif(9, 7, (3, 4, 5))
+    assert decode_gif(good) is not None
+    assert decode_gif(b"") is None
+    assert decode_gif(b"GIF89a" + b"\x00" * 4) is None
+    assert decode_gif(good[:-12]) is None  # truncated mid-LZW
+    assert gif_frame_count(b"GIF89a") is None
+
+
+def test_image_features_decodes_gif(spark):
+    from html_parser_spark.core.gif import synth_gif
+    from html_parser_spark.operators.multimodal import image_features
+
+    rows = [
+        ("plain", bytearray(synth_gif(6, 5, (10, 20, 30)))),
+        ("laced", bytearray(synth_gif(4, 9, (40, 50, 60), interlace=True))),
+        ("jpeg", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 8)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r["doc_id"]: r for r in image_features(df).collect()}
+    a = got["plain"]
+    assert (a["format"], a["outcome"], a["n_px"]) == ("gif", "decoded", 30)
+    assert (a["sum_r"], a["sum_g"], a["sum_b"]) == (
+        10 * 29 + 255, 20 * 29 + 255, 30 * 29 + 255)
+    b = got["laced"]
+    assert (b["outcome"], b["width"], b["height"]) == ("decoded", 4, 9)
+    assert b["sum_r"] == 40 * 35 + 255
+    assert got["jpeg"]["outcome"] == "codec_unavailable"
