@@ -155,9 +155,17 @@ def main() -> int:
         "dedup_minhash_lsh",
         qs["dedup_minhash_lsh"](spark, sf_dir),
         [
-            ("verification sides shrink via broadcast semi-joins (the full "
-             "shingle table is never shuffled for the wide join)",
+            ("TWO shuffles total (bucket groupBy + pair distinct): "
+             "signatures and sizes are narrow array projections, never an "
+             "explode + groupBy",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2),
+            ("verification is candidate-bounded: broadcast semi-join shrink "
+             "+ broadcast array attach (the corpus-wide shingle set is "
+             "never shuffled or joined wide)",
              lambda p: p.count("BroadcastHashJoin") >= 2 and "LeftSemi" in p),
+            ("one shingle pass over the corpus: the array table is computed "
+             "once per union leg and cached (no expression re-inlining)",
+             lambda p: p.count("conv(substr(md5") <= 3),
             ("candidates from one groupBy on (band,key), not a bands "
              "self-join (no join of the band table with itself)",
              lambda p: "collect_list" in p),
