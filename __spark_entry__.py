@@ -390,6 +390,20 @@ def q_multimodal_gif(spark, sf_dir):
     return image_features(attach_gif(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end: synthesize a baseline 4:4:4
+    JPEG per document (params from the FRESH stream md5(text||'jpg'):
+    8-multiple dims 8*(1+e0%6) x 8*(1+e1%6), fill e2..e4) and decode it
+    fully in pure Python (core/jpeg.py: marker walk, DQT/DHT canonical
+    Huffman, entropy decode with unstuffing, dequant + dezigzag, float
+    IDCT, JFIF color). Constant-fill blocks make the LOSSY round trip
+    closed-form (DC-only quantization with tie-free Q multiples of 8), so
+    the oracle checks dimensions AND the exact decoded channel sums."""
+    from html_parser_spark.operators.multimodal import attach_jpeg, image_features
+
+    return image_features(attach_jpeg(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL audio decode end-to-end: synthesize a PCM16 WAV per document
     (square wave; params from md5(text) bytes 5..8) and decode with the
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_decode": q_multimodal_image,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
+        "multimodal_jpeg_decode": q_multimodal_jpeg,
         "multimodal_audio_meta": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
         "layout_pdf_text": q_layout_pdf,
@@ -1068,6 +1083,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(fg * (w * h - 1) + 255 AS BIGINT) AS sum_g,
                    CAST(fb * (w * h - 1) + 255 AS BIGINT) AS sum_b
             FROM d
+        """,
+        "multimodal_jpeg_decode": """
+            WITH p AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     8 * (1 + CAST('0x' || substr(md5(text || 'jpg'), 1, 2) AS INTEGER) % 6) AS w,
+                     8 * (1 + CAST('0x' || substr(md5(text || 'jpg'), 3, 2) AS INTEGER) % 6) AS h,
+                     CAST('0x' || substr(md5(text || 'jpg'), 5, 2) AS INTEGER) AS fr,
+                     CAST('0x' || substr(md5(text || 'jpg'), 7, 2) AS INTEGER) AS fg,
+                     CAST('0x' || substr(md5(text || 'jpg'), 9, 2) AS INTEGER) AS fb
+              FROM documents
+            ),
+            -- forward JFIF + DC-only quant round trip (core/jpeg.py contract:
+            -- every rounding is floor(x + 0.5), Q = 16 luma / 24 chroma)
+            ycc AS (
+              SELECT *,
+                floor(0.299 * fr + 0.587 * fg + 0.114 * fb + 0.5) AS y,
+                floor(-0.168736 * fr - 0.331264 * fg + 0.5 * fb + 128 + 0.5) AS cb,
+                floor(0.5 * fr - 0.418688 * fg - 0.081312 * fb + 128 + 0.5) AS cr
+              FROM p
+            ),
+            rt AS (
+              SELECT *,
+                least(255, greatest(0, floor(16 * floor(8 * (y - 128) / 16 + 0.5) / 8 + 128 + 0.5))) AS y2,
+                least(255, greatest(0, floor(24 * floor(8 * (cb - 128) / 24 + 0.5) / 8 + 128 + 0.5))) AS cb2,
+                least(255, greatest(0, floor(24 * floor(8 * (cr - 128) / 24 + 0.5) / 8 + 128 + 0.5))) AS cr2
+              FROM ycc
+            ),
+            rgb AS (
+              SELECT *,
+                least(255, greatest(0, floor(y2 + 1.402 * (cr2 - 128) + 0.5))) AS r2,
+                least(255, greatest(0, floor(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128) + 0.5))) AS g2,
+                least(255, greatest(0, floor(y2 + 1.772 * (cb2 - 128) + 0.5))) AS b2
+              FROM rt
+            )
+            SELECT doc_id, 'jpeg' AS format, 'decoded' AS outcome,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(w * h AS INTEGER) AS n_px,
+                   CAST(r2 * w * h AS BIGINT) AS sum_r,
+                   CAST(g2 * w * h AS BIGINT) AS sum_g,
+                   CAST(b2 * w * h AS BIGINT) AS sum_b
+            FROM rgb
         """,
         "multimodal_audio_meta": """
             WITH d AS (

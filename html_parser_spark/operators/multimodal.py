@@ -1,15 +1,16 @@
 """Multimodal column handling: image/audio/video as opaque `binary` columns
 with typed metadata, processed by Arrow-batched kernels.
 
-The DECODE step is REAL for the formats a pure-Python kernel can honestly
-handle: 24-bit BMP, 8-bit truecolor PNG (stdlib zlib inflate + all five
-scanline filters) in core/image.py, and GIF (pure-Python LZW with
-variable-width codes + interlace, core/gif.py) — validated end-to-end by
-the `multimodal_image_decode` / `multimodal_png_decode` /
-`multimodal_gif_decode` gate queries over synthesized files. JPEG is the
-one genuinely codec-bound image format (DCT + entropy coding); it is
-sniffed by magic and surfaces an explicit outcome='codec_unavailable'
-row — an honest seam, not a fake decode.
+The DECODE step is REAL for every image format in the corpus model:
+24-bit BMP, 8-bit truecolor PNG (stdlib zlib inflate + all five scanline
+filters) in core/image.py, GIF (pure-Python LZW + interlace,
+core/gif.py), and baseline 4:4:4/grayscale JPEG (pure-Python Huffman +
+IDCT, core/jpeg.py) — validated end-to-end by the
+`multimodal_image_decode` / `multimodal_png_decode` /
+`multimodal_gif_decode` / `multimodal_jpeg_decode` gate queries over
+synthesized files. JPEG variants beyond the implemented baseline
+(progressive, subsampled chroma, restarts) surface an explicit
+outcome='codec_unavailable' row — an honest seam, not a fake decode.
 
 `attach_payload` derives a deterministic 16-byte binary payload per document
 (unhex(md5(text))) so the metadata kernel output has a closed-form SQL
@@ -55,13 +56,26 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 def real_decoder(payload: bytes) -> dict:
     """Real decode for formats a pure-Python kernel can honestly handle
     (24-bit BMP, 8-bit truecolor PNG via core/image.py, GIF via
-    core/gif.py); JPEG raises the explicit stub error — decoding it
-    requires a real codec library. For the graceful (row-outcome) form of
-    the same routing, use image_features()."""
+    core/gif.py, baseline JPEG via core/jpeg.py); a JPEG variant beyond
+    the implemented baseline (progressive, subsampled chroma) raises the
+    explicit stub error — decoding those requires a full codec library.
+    For the graceful (row-outcome) form of the same routing, use
+    image_features()."""
     from ..core.gif import decode_gif
     from ..core.image import decode_bmp, decode_png, sniff_format
+    from ..core.jpeg import decode_jpeg
 
     fmt = sniff_format(payload)
+    if fmt == "jpeg":
+        img = decode_jpeg(payload)
+        if img is None:
+            raise NotImplementedError(
+                "JPEG variant beyond baseline 4:4:4/grayscale (progressive, "
+                "subsampled, or malformed) requires a codec library not "
+                "present in this environment"
+            )
+        h, w = img.shape[:2]
+        return {"format": fmt, "width": w, "height": h}
     if fmt in ("bmp", "png", "gif"):
         img = {"bmp": decode_bmp, "png": decode_png, "gif": decode_gif}[fmt](payload)
         if img is None:
@@ -211,6 +225,49 @@ def attach_gif(docs: DataFrame) -> DataFrame:
     ).mapInArrow(kernel, schema=out_schema)
 
 
+def attach_jpeg(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary) with a REAL synthesized
+    baseline JPEG per document. Params come from the FRESH byte stream
+    md5(text || 'jpg'): width = 8 * (1 + e0 % 6), height = 8 * (1 + e1 % 6)
+    (8-multiples keep every block constant — the lossy round trip then has
+    the closed form in core/jpeg.py's docstring, so the decode output is
+    fully SQL-oracle-checkable INCLUDING channel sums), fill RGB = e2..e4.
+    Deterministic bytes."""
+    from ..core.jpeg import synth_jpeg
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                e = hashlib.md5(((text or "") + "jpg").encode("utf-8")).digest()
+                payloads.append(
+                    synth_jpeg(8 * (1 + e[0] % 6), 8 * (1 + e[1] % 6), (e[2], e[3], e[4]))
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
 IMAGE_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -230,10 +287,12 @@ def image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """REAL image decode over a binary column (mapInArrow): BMP, 8-bit
-    truecolor PNG, and GIF decode to dimensions + per-channel pixel sums
-    over RGB (integer-exact — the oracle-able feature form of mean color;
-    PNG alpha is excluded from the sums); JPEG surfaces
-    outcome='codec_unavailable', malformed bytes or unsupported PNG
+    truecolor PNG, GIF, and baseline JPEG decode to dimensions +
+    per-channel pixel sums over RGB (integer-exact — the oracle-able
+    feature form of mean color; PNG alpha is excluded from the sums).
+    A JPEG beyond the implemented baseline (progressive/subsampled — the
+    variants that genuinely need a codec library) surfaces
+    outcome='codec_unavailable'; malformed bytes or unsupported PNG
     subtypes (palette/16-bit/interlaced) 'undecodable' — the stage never
     fails on bad media."""
 
@@ -242,6 +301,7 @@ def image_features(
 
         from ..core.gif import decode_gif
         from ..core.image import decode_bmp, decode_png, sniff_format
+        from ..core.jpeg import decode_jpeg
 
         schema = pa.schema(
             [
@@ -271,6 +331,8 @@ def image_features(
                     img = decode_png(data)
                 elif fmt == "gif":
                     img = decode_gif(data)
+                elif fmt == "jpeg":
+                    img = decode_jpeg(data)
                 else:
                     img = None
                 if img is not None:

@@ -1,0 +1,138 @@
+"""Pure-Python baseline JPEG codec (core/jpeg.py): closed-form lossy round
+trip for constant fills, the general AC/ZRL/extend entropy path against a
+direct IDCT reference, grayscale, and malformed/unsupported inputs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from html_parser_spark.core import jpeg as J
+
+
+def test_constant_fill_matches_closed_form():
+    """Every decoded pixel of a synth_jpeg equals the documented closed
+    form (DC-only quantization, tie-free Q multiples of 8) — the property
+    the SQL gate oracle states."""
+    rng = np.random.RandomState(5)
+    fills = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(60)]
+    fills += [(v, 255 - v, (v * 7) % 256) for v in range(0, 256, 17)]
+    for i, fill in enumerate(fills):
+        w, h = 8 * (1 + i % 5), 8 * (1 + (i // 5) % 5)
+        img = J.decode_jpeg(J.synth_jpeg(w, h, fill))
+        assert img is not None and img.shape == (h, w, 3)
+        want = J.jpeg_closed_form_pixel(fill)
+        uniq = np.unique(img.reshape(-1, 3), axis=0)
+        assert len(uniq) == 1 and tuple(uniq[0]) == want, (fill, want)
+        # the lossy error stays small (quant steps 2 luma / 3 chroma)
+        assert all(abs(a - b) <= 8 for a, b in zip(want, fill))
+
+
+def _encode_blocks(w, h, blocks_per_comp, nc, qtabs):
+    """Hand-rolled baseline JPEG with ARBITRARY quantized coefficient
+    blocks (zigzag order) — exercises AC run/size, ZRL, negatives, and
+    the grayscale frame type, none of which synth_jpeg emits."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    inv = np.zeros(64, dtype=np.uint8)
+    inv[J.ZIGZAG] = np.arange(64)
+    for tq, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([tq]) + np.asarray(q, np.uint8)[inv].tobytes())
+    comps = b"".join(bytes([c + 1, 0x11, min(c, len(qtabs) - 1)]) for c in range(nc))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    for tc_th, bits, vals in ((0x00, J._DC_BITS, J._DC_VALS), (0x10, J._AC_BITS, J._AC_VALS)):
+        out += seg(0xC4, bytes([tc_th] + bits + vals))
+    sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    wtr = J._BitWriter()
+    pred = [0] * nc
+    for bi in range((w // 8) * (h // 8)):
+        for c in range(nc):
+            zz = blocks_per_comp[c][bi]
+            diff = int(zz[0]) - pred[c]
+            pred[c] = int(zz[0])
+            J._emit_coeff(wtr, J._DC_ENC, J._category(diff), diff)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    J._emit_coeff(wtr, J._AC_ENC, 0x00, 0)
+                    break
+                while run >= 16:
+                    J._emit_coeff(wtr, J._AC_ENC, 0xF0, 0)
+                    run -= 16
+                v = int(zz[k])
+                J._emit_coeff(wtr, J._AC_ENC, (run << 4) | J._category(v), v)
+                k += 1
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def _reference_decode(blocks_per_comp, w, h, nc, qtabs):
+    planes = []
+    for c in range(nc):
+        q = np.asarray(qtabs[min(c, len(qtabs) - 1)], np.int64)
+        plane = np.zeros((h, w))
+        bx = w // 8
+        for bi, zz in enumerate(blocks_per_comp[c]):
+            blk = np.zeros(64, np.int64)
+            blk[J.ZIGZAG] = np.asarray(zz) * q
+            px = J._D.T @ blk.reshape(8, 8).astype(float) @ J._D + 128.0
+            my, mx = bi // bx, bi % bx
+            plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = px
+        planes.append(np.clip(np.floor(plane + 0.5), 0, 255))
+    if nc == 1:
+        g = planes[0].astype(np.uint8)
+        return np.stack([g, g, g], -1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.floor(np.stack([r, g, b], -1) + 0.5), 0, 255).astype(np.uint8)
+
+
+def test_general_entropy_path_against_idct_reference():
+    rng = np.random.RandomState(9)
+    for trial in range(20):
+        w, h = 8 * int(rng.randint(1, 4)), 8 * int(rng.randint(1, 4))
+        nc = int(rng.choice([1, 3]))
+        qtabs = [np.full(64, 16), np.full(64, 24)][: max(1, nc - 1)]
+        blocks = []
+        for _c in range(nc):
+            bs = []
+            for _ in range((w // 8) * (h // 8)):
+                zz = np.zeros(64, np.int64)
+                for _ in range(int(rng.randint(0, 8))):
+                    zz[int(rng.randint(0, 64))] = int(rng.randint(-40, 41))
+                bs.append(zz)
+            blocks.append(bs)
+        got = J.decode_jpeg(_encode_blocks(w, h, blocks, nc, qtabs))
+        want = _reference_decode(blocks, w, h, nc, qtabs)
+        assert got is not None and (got == want).all(), trial
+
+
+def test_malformed_and_unsupported_return_none():
+    good = J.synth_jpeg(16, 8, (10, 20, 30))
+    assert J.decode_jpeg(good) is not None
+    assert J.decode_jpeg(b"") is None
+    assert J.decode_jpeg(b"\xff\xd8\xff\xe0") is None
+    assert J.decode_jpeg(good[:-4]) is None  # truncated scan
+    bad = bytearray(good)
+    bad[2] = 0x00  # break marker sync
+    assert J.decode_jpeg(bytes(bad)) is None
+    # progressive (SOF2) is honestly unsupported
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert J.decode_jpeg(prog) is None
+    # subsampled chroma (4:2:0-style sampling factor) is honestly unsupported
+    sub = bytearray(good)
+    sof_at = sub.find(b"\xff\xc0")
+    sub[sof_at + 11] = 0x22  # component 1 sampling 2x2
+    assert J.decode_jpeg(bytes(sub)) is None
