@@ -4,13 +4,14 @@ Baseline sequential JPEG (SOF0) is entropy coding (Huffman) + DCT — both
 implementable without a codec library, the same move that made PDF
 (FlateDecode), PNG (zlib) and GIF (LZW) real in this repo. The decoder
 handles the self-describing format honestly: marker walk, 8-bit DQT, DHT
-canonical Huffman table construction, SOF0 with 4:4:4 (all sampling
-factors 1x1) or single-component grayscale, SOS, the entropy-coded
-segment with 0xFF00 byte unstuffing, DC difference coding, AC
-run-length/EOB/ZRL, dequantize + dezigzag, float IDCT, and JFIF
-YCbCr -> RGB. Progressive (SOF2), chroma subsampling, 16-bit quant
-tables, arithmetic coding, and restart markers return None (honest
-unsupported, not a guess).
+canonical Huffman table construction, SOF0 with sampling factors up to
+2x2 (4:4:4, 4:2:2, and the dominant real-world 4:2:0 — interleaved MCU
+block order per spec A.2.3, replication upsampling) or single-component
+grayscale, SOS, the entropy-coded segment with 0xFF00 byte unstuffing,
+DC difference coding, AC run-length/EOB/ZRL, dequantize + dezigzag,
+float IDCT, and JFIF YCbCr -> RGB. Progressive (SOF2), sampling factors
+beyond 2, 16-bit quant tables, arithmetic coding, and restart markers
+return None (honest unsupported, not a guess).
 
 The writer emits correct baseline JPEGs with valid-by-construction
 canonical Huffman tables (all DC categories at 4 bits, all AC symbols at
@@ -150,8 +151,9 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
     """Baseline JPEG -> HxWx3 uint8 RGB (grayscale replicated to 3
-    channels). None for malformed input or honest-unsupported variants
-    (progressive, subsampled chroma, 16-bit quant, restarts mid-scan)."""
+    channels; subsampled chroma upsampled by replication). None for
+    malformed input or honest-unsupported variants (progressive, sampling
+    factors beyond 2x2, 16-bit quant, restarts mid-scan)."""
     try:
         if data[:2] != b"\xff\xd8":
             return None
@@ -192,9 +194,10 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                 comps = []
                 for c in range(nc):  # components start after prec+h+w+nc = 6 bytes
                     cid, sampling, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                    if sampling != 0x11:
-                        return None  # subsampling honestly unsupported
-                    comps.append((cid, tq))
+                    hi, vi = sampling >> 4, sampling & 0x0F
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        return None  # sampling factors beyond 2 unsupported
+                    comps.append((cid, tq, hi, vi))
                 sof = (w, h, comps)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
                 return None  # non-baseline frame types
@@ -212,7 +215,7 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                     q = qt.get(comps[c][1])
                     if dc_t is None or ac_t is None or q is None:
                         return None
-                    tables.append((dc_t, ac_t, q))
+                    tables.append((dc_t, ac_t, q, comps[c][2], comps[c][3]))
                 return _decode_scan(data, pos + seglen, w, h, tables)
             elif marker == 0xD9:
                 return None
@@ -223,42 +226,60 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
 
 
 def _decode_scan(data, pos, w, h, tables) -> Optional[np.ndarray]:
-    bx, by = (w + 7) // 8, (h + 7) // 8
     nc = len(tables)
-    planes = np.zeros((nc, by * 8, bx * 8), dtype=np.float64)
+    hmax = max(t[3] for t in tables)
+    vmax = max(t[4] for t in tables)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component planes at NATIVE resolution; upsampled after the scan
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+        for (_dc, _ac, _q, hi, vi) in tables
+    ]
     r = _BitReader(data, pos)
     pred = [0] * nc
-    for my in range(by):
-        for mx in range(bx):
-            for c, (dc_t, ac_t, q) in enumerate(tables):
-                zz = np.zeros(64, dtype=np.int64)
-                size = r.read_symbol(dc_t)
-                pred[c] += _extend(r.read_bits(size), size)
-                zz[0] = pred[c]
-                k = 1
-                while k < 64:
-                    rs = r.read_symbol(ac_t)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        return None
-                    zz[k] = _extend(r.read_bits(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.int64)
-                block[ZIGZAG] = zz * q[np.arange(64)]
-                f = block.reshape(8, 8).astype(np.float64)
-                px = _D.T @ f @ _D + 128.0
-                planes[c, my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = px
-    planes = np.clip(_round_half_up(planes), 0, 255)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (dc_t, ac_t, q, hi, vi) in enumerate(tables):
+                # interleaved MCU order: vi x hi blocks per component,
+                # left-to-right then top-to-bottom (JPEG spec A.2.3)
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = r.read_symbol(dc_t)
+                        pred[c] += _extend(r.read_bits(size), size)
+                        zz[0] = pred[c]
+                        k = 1
+                        while k < 64:
+                            rs = r.read_symbol(ac_t)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                return None
+                            zz[k] = _extend(r.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int64)
+                        block[ZIGZAG] = zz * q[np.arange(64)]
+                        f = block.reshape(8, 8).astype(np.float64)
+                        px = _D.T @ f @ _D + 128.0
+                        y0 = (my * vi + byi) * 8
+                        x0 = (mx * hi + bxi) * 8
+                        planes[c][y0 : y0 + 8, x0 : x0 + 8] = px
+    out = []
+    for p, (_dc, _ac, _q, hi, vi) in zip(planes, tables):
+        p = np.clip(_round_half_up(p), 0, 255)
+        if hi < hmax or vi < vmax:  # nearest (replication) upsampling
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(p[:h, :w])
     if nc == 1:
-        g = planes[0, :h, :w].astype(np.uint8)
+        g = out[0].astype(np.uint8)
         return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
-    y, cb, cr = planes[0, :h, :w], planes[1, :h, :w], planes[2, :h, :w]
+    y, cb, cr = out
     # JFIF inverse, pinned expression order (the oracle mirrors it verbatim)
     r_ = y + 1.402 * (cr - 128.0)
     g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

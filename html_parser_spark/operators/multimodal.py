@@ -9,7 +9,7 @@ IDCT, core/jpeg.py) — validated end-to-end by the
 `multimodal_image_decode` / `multimodal_png_decode` /
 `multimodal_gif_decode` / `multimodal_jpeg_decode` gate queries over
 synthesized files. JPEG variants beyond the implemented baseline
-(progressive, subsampled chroma, restarts) surface an explicit
+(progressive, sampling factors beyond 2x2, restarts) surface an explicit
 outcome='codec_unavailable' row — an honest seam, not a fake decode.
 
 `attach_payload` derives a deterministic 16-byte binary payload per document
@@ -57,7 +57,7 @@ def real_decoder(payload: bytes) -> dict:
     """Real decode for formats a pure-Python kernel can honestly handle
     (24-bit BMP, 8-bit truecolor PNG via core/image.py, GIF via
     core/gif.py, baseline JPEG via core/jpeg.py); a JPEG variant beyond
-    the implemented baseline (progressive, subsampled chroma) raises the
+    the implemented baseline (progressive, sampling beyond 2x2) raises the
     explicit stub error — decoding those requires a full codec library.
     For the graceful (row-outcome) form of the same routing, use
     image_features()."""
@@ -70,8 +70,8 @@ def real_decoder(payload: bytes) -> dict:
         img = decode_jpeg(payload)
         if img is None:
             raise NotImplementedError(
-                "JPEG variant beyond baseline 4:4:4/grayscale (progressive, "
-                "subsampled, or malformed) requires a codec library not "
+                "JPEG variant beyond the implemented baseline (progressive, "
+                "sampling beyond 2x2, or malformed) requires a codec library not "
                 "present in this environment"
             )
         h, w = img.shape[:2]
@@ -290,7 +290,7 @@ def image_features(
     truecolor PNG, GIF, and baseline JPEG decode to dimensions +
     per-channel pixel sums over RGB (integer-exact — the oracle-able
     feature form of mean color; PNG alpha is excluded from the sums).
-    A JPEG beyond the implemented baseline (progressive/subsampled — the
+    A JPEG beyond the implemented baseline (progressive etc. — the
     variants that genuinely need a codec library) surfaces
     outcome='codec_unavailable'; malformed bytes or unsupported PNG
     subtypes (palette/16-bit/interlaced) 'undecodable' — the stage never

@@ -131,8 +131,58 @@ def test_malformed_and_unsupported_return_none():
     # progressive (SOF2) is honestly unsupported
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert J.decode_jpeg(prog) is None
-    # subsampled chroma (4:2:0-style sampling factor) is honestly unsupported
+    # sampling factors beyond 2 are honestly unsupported
     sub = bytearray(good)
     sof_at = sub.find(b"\xff\xc0")
-    sub[sof_at + 11] = 0x22  # component 1 sampling 2x2
+    sub[sof_at + 11] = 0x33  # component 1 sampling 3x3
     assert J.decode_jpeg(bytes(sub)) is None
+
+
+def test_420_subsampled_decode():
+    """4:2:0 (Y 2x2, chroma 1x1): hand-encode an MCU-interleaved stream
+    with distinct per-block DC values, decode, and check each 8x8 region's
+    Y and the replication-upsampled chroma against the closed forms."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    w = h = 16  # one MCU: 4 Y blocks + 1 Cb + 1 Cr
+    out = bytearray(b"\xff\xd8")
+    inv = np.zeros(64, dtype=np.uint8)
+    inv[J.ZIGZAG] = np.arange(64)
+    out += seg(0xDB, bytes([0]) + np.full(64, 16, np.uint8)[inv].tobytes())
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3) + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    for tc_th, bits, vals in ((0x00, J._DC_BITS, J._DC_VALS), (0x10, J._AC_BITS, J._AC_VALS)):
+        out += seg(0xC4, bytes([tc_th] + bits + vals))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    wtr = J._BitWriter()
+    # Y blocks (spec order: TL, TR, BL, BR) get DC quantized values 2,4,6,8;
+    # Cb DC 0 (neutral), Cr DC 4 -> warm cast
+    y_dcs = [2, 4, 6, 8]
+    pred = 0
+    for dc in y_dcs:
+        diff = dc - pred
+        pred = dc
+        J._emit_coeff(wtr, J._DC_ENC, J._category(diff), diff)
+        J._emit_coeff(wtr, J._AC_ENC, 0x00, 0)
+    for dc in (0, 4):  # Cb then Cr (fresh DC predictors per component)
+        J._emit_coeff(wtr, J._DC_ENC, J._category(dc), dc)
+        J._emit_coeff(wtr, J._AC_ENC, 0x00, 0)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+
+    img = J.decode_jpeg(bytes(out))
+    assert img is not None and img.shape == (16, 16, 3)
+    # per-block luma: 16*dc/8 + 128 = 2*dc + 128
+    y_vals = {(0, 0): 132, (0, 8): 136, (8, 0): 140, (8, 8): 144}
+    cb2, cr2 = 128.0, 136.0  # 16*4/8 + 128
+    for (y0, x0), yv in y_vals.items():
+        region = img[y0 : y0 + 8, x0 : x0 + 8]
+        r2 = int(np.floor(yv + 1.402 * (cr2 - 128.0) + 0.5))
+        g2 = int(np.floor(yv - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5))
+        b2 = int(np.floor(yv + 1.772 * (cb2 - 128.0) + 0.5))
+        uniq = np.unique(region.reshape(-1, 3), axis=0)
+        assert len(uniq) == 1 and tuple(uniq[0]) == (r2, g2, b2), (y0, x0, uniq)
