@@ -77,17 +77,71 @@ def decode_bmp(data: bytes) -> Optional[np.ndarray]:
         return None
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> Optional[np.ndarray]:
+    """One PNG sub-image's scanlines (filter byte + w*bpp bytes per row) ->
+    (h, w*bpp) reconstructed bytes, or None on a bad filter type."""
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            rec = (
+                np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.uint32) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f in (3, 4):  # Average / Paeth: sequential left dependency —
+            # a plain-int byte loop beats numpy here (tiny-array ops are
+            # overhead-bound; measured ~3x on fixture-sized rows)
+            rowb = row.tobytes()
+            prevb = prev.tobytes()
+            buf = bytearray(stride)
+            for i in range(stride):
+                a = buf[i - bpp] if i >= bpp else 0
+                b = prevb[i]
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prevb[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                buf[i] = (rowb[i] + pred) & 0xFF
+            rec = np.frombuffer(bytes(buf), dtype=np.uint8)
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    return out
+
+
 def decode_png(data: bytes) -> Optional[np.ndarray]:
-    """8-bit non-interlaced truecolor PNG -> HxWx{3,4} uint8 array (RGB or
-    RGBA, row 0 = top). Full spec path for that class: chunk walk with CRC
+    """8-bit PNG -> HxWx{3,4} uint8 array (row 0 = top): truecolor RGB/RGBA,
+    8-bit palette (PLTE lookup -> RGB), non-interlaced or Adam7-interlaced
+    (each of the 7 passes unfiltered as its own sub-image, then scattered by
+    the pass geometry). Full spec path for that class: chunk walk with CRC
     verification, concatenated-IDAT zlib inflate, and all five scanline
-    filters (None/Sub/Up/Average/Paeth). Palette, sub-8-bit, 16-bit and
-    Adam7-interlaced images return None (honest unsupported, not a guess);
-    any malformed input returns None (never raises)."""
+    filters (None/Sub/Up/Average/Paeth). Sub-8-bit and 16-bit depths return
+    None (honest unsupported, not a guess); any malformed input returns
+    None (never raises)."""
     try:
         if data[:8] != b"\x89PNG\r\n\x1a\n":
             return None
-        pos, ihdr, idat, ended = 8, None, [], False
+        pos, ihdr, idat, plte, ended = 8, None, [], None, False
         while pos + 8 <= len(data):
             (length,) = struct.unpack_from(">I", data, pos)
             ctype = data[pos + 4 : pos + 8]
@@ -101,6 +155,10 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
                 ihdr = body
             elif ctype == b"IDAT":
                 idat.append(body)
+            elif ctype == b"PLTE":
+                if length % 3:
+                    return None
+                plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
             elif ctype == b"IEND":
                 ended = True
                 break
@@ -108,54 +166,41 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
         if ihdr is None or not idat or not ended:
             return None
         w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-        if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+        if depth != 8 or color not in (2, 3, 6) or comp or filt or interlace > 1:
+            return None
+        if color == 3 and plte is None:
             return None
         if not w or not h or w > 1 << 20 or h > 1 << 20:
             return None
-        bpp = 3 if color == 2 else 4
+        bpp = {2: 3, 3: 1, 6: 4}[color]
         raw = zlib.decompress(b"".join(idat))
-        stride = w * bpp
-        if len(raw) != h * (stride + 1):
-            return None
-        raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        ftypes, rows = raw[:, 0], raw[:, 1:]
-        out = np.zeros((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.uint8)
-        for y in range(h):
-            f, row = int(ftypes[y]), rows[y]
-            if f == 0:  # None
-                rec = row.copy()
-            elif f == 1:  # Sub: per-lane prefix sum mod 256
-                rec = (
-                    np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.uint32) % 256
-                ).astype(np.uint8).reshape(stride)
-            elif f == 2:  # Up
-                rec = row + prev
-            elif f in (3, 4):  # Average / Paeth: sequential left dependency —
-                # a plain-int byte loop beats numpy here (tiny-array ops are
-                # overhead-bound; measured ~3x on fixture-sized rows)
-                rowb = row.tobytes()
-                prevb = prev.tobytes()
-                buf = bytearray(stride)
-                for i in range(stride):
-                    a = buf[i - bpp] if i >= bpp else 0
-                    b = prevb[i]
-                    if f == 3:
-                        pred = (a + b) >> 1
-                    else:
-                        c = prevb[i - bpp] if i >= bpp else 0
-                        p = a + b - c
-                        pa = p - a if p >= a else a - p
-                        pb = p - b if p >= b else b - p
-                        pc = p - c if p >= c else c - p
-                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    buf[i] = (rowb[i] + pred) & 0xFF
-                rec = np.frombuffer(bytes(buf), dtype=np.uint8)
-            else:
+        if interlace == 0:
+            rec = _unfilter(raw, h, w, bpp)
+            if rec is None:
                 return None
-            out[y] = rec
-            prev = rec
-        return out.reshape(h, w, bpp)
+            out = rec.reshape(h, w, bpp)
+        else:  # Adam7: 7 independently-filtered sub-images
+            out = np.zeros((h, w, bpp), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                n = ph * (pw * bpp + 1)
+                rec = _unfilter(raw[off : off + n], ph, pw, bpp)
+                if rec is None:
+                    return None
+                off += n
+                out[y0::dy, x0::dx] = rec.reshape(ph, pw, bpp)
+            if off != len(raw):
+                return None
+        if color == 3:
+            idx = out.reshape(h, w)
+            if (idx >= len(plte)).any():
+                return None
+            return np.ascontiguousarray(plte[idx])
+        return out
     except Exception:
         return None
 

@@ -2,8 +2,8 @@
 with typed metadata, processed by Arrow-batched kernels.
 
 The DECODE step is REAL for every image format in the corpus model:
-24-bit BMP, 8-bit truecolor PNG (stdlib zlib inflate + all five scanline
-filters) in core/image.py, GIF (pure-Python LZW + interlace,
+24-bit BMP, 8-bit PNG (truecolor/RGBA/palette, plain or Adam7, stdlib
+zlib inflate + all five scanline filters) in core/image.py, GIF (pure-Python LZW + interlace,
 core/gif.py), and baseline 4:4:4/grayscale JPEG (pure-Python Huffman +
 IDCT, core/jpeg.py) — validated end-to-end by the
 `multimodal_image_decode` / `multimodal_png_decode` /
@@ -292,8 +292,8 @@ def image_features(
     feature form of mean color; PNG alpha is excluded from the sums).
     A JPEG beyond the implemented baseline (progressive etc. — the
     variants that genuinely need a codec library) surfaces
-    outcome='codec_unavailable'; malformed bytes or unsupported PNG
-    subtypes (palette/16-bit/interlaced) 'undecodable' — the stage never
+    outcome='codec_unavailable'; malformed bytes or unsupported
+    depths (sub-8-bit/16-bit PNG) 'undecodable' — the stage never
     fails on bad media."""
 
     def kernel(batches):

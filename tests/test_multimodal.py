@@ -270,8 +270,7 @@ def test_png_malformed_and_unsupported_return_none():
     bad = bytearray(good)
     bad[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
     assert decode_png(bytes(bad)) is None
-    # unsupported subtype: flip color type to palette (recompute nothing;
-    # CRC now wrong, which is also a None -> assert via fresh bytes)
+    # palette stream WITHOUT a PLTE chunk is malformed -> None
     import struct
     import zlib
 
@@ -380,3 +379,71 @@ def test_image_features_decodes_gif(spark):
     assert (b["outcome"], b["width"], b["height"]) == ("decoded", 4, 9)
     assert b["sum_r"] == 40 * 35 + 255
     assert got["jpeg"]["outcome"] == "codec_unavailable"
+
+
+def test_png_palette_and_adam7():
+    """Palette PNGs map through PLTE; Adam7 streams reconstruct exactly
+    (hand-built encoders with filter-0 rows; pass geometry from the spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from html_parser_spark.core.image import decode_png
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    def png(ihdr_body, chunks):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr_body)
+            + b"".join(chunks)
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(31)
+    # palette: random index image + random 5-color palette
+    w, h = 11, 7
+    palette = rng.randint(0, 256, (5, 3)).astype(np.uint8)
+    idx = rng.randint(0, 5, (h, w)).astype(np.uint8)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    data = png(
+        struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0),
+        [chunk(b"PLTE", palette.tobytes()), chunk(b"IDAT", zlib.compress(lines))],
+    )
+    got = decode_png(data)
+    assert got is not None and (got == palette[idx]).all()
+    # out-of-range palette index -> None
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 5
+    lines = b"".join(b"\x00" + bad_idx[y].tobytes() for y in range(h))
+    bad = png(
+        struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0),
+        [chunk(b"PLTE", palette.tobytes()), chunk(b"IDAT", zlib.compress(lines))],
+    )
+    assert decode_png(bad) is None
+
+    # Adam7: encode an arbitrary RGB image pass by pass (filter 0)
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    for w, h in [(9, 10), (1, 1), (8, 8), (17, 3), (2, 13)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + sub[y].tobytes()
+        data = png(
+            struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1),
+            [chunk(b"IDAT", zlib.compress(bytes(raw)))],
+        )
+        got = decode_png(data)
+        assert got is not None and (got == img).all(), (w, h)
