@@ -196,6 +196,22 @@ def q_text_tfidf(spark, sf_dir):
     return TXT.tf_idf_topk(_docs(spark, sf_dir), k=3)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over the documents table: the benchmark is
+    every 50th doc (a deterministic eval split), and a training doc is
+    contaminated when it shares >= 5 distinct 3-gram shingles with any
+    benchmark doc. Benchmark members flag themselves; near/exact planted
+    copies of benchmark docs flag too (that is the point of the step)."""
+    docs = _docs(spark, sf_dir)
+    return DD.decontaminate(docs, docs.where(F.expr("doc_id % 50 = 0")))
+
+
+def q_text_bigram_lm(spark, sf_dir):
+    """Corpus-trained bigram LM fluency score (log-free integer ratios —
+    IEEE ln is not cross-engine bit-exact, the same move as text_tfidf)."""
+    return TXT.bigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling: each source strata
     keeps permille = 100 + 40 * (source_number % 10) of its docs by md5
@@ -516,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_topk_terms": q_text_topk_terms,
         "text_tfidf": q_text_tfidf,
+        "decontaminate_overlap": q_decontaminate,
+        "text_bigram_lm": q_text_bigram_lm,
         "sample_stratified": q_sample_stratified,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
@@ -870,6 +888,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df, score_micro, CAST(rk AS INTEGER) AS rank
             FROM r WHERE rk <= 3
+        """,
+        "decontaminate_overlap": """
+            WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) < 3 THEN []::BIGINT[]
+                              ELSE list_transform(range(1, len(w) - 1),
+                                   i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)
+                                        AS BIGINT)) END) AS g
+                FROM wd
+              )
+            ),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT s.doc_id, COUNT(*) AS n_overlap
+              FROM sh s JOIN bench b ON s.g = b.g GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(CASE WHEN COALESCE(h.n_overlap, 0) >= 5
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "text_bigram_lm": """
+            WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            occ AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1]) END) AS bigram
+              FROM wd
+            ),
+            bg AS (SELECT bigram, COUNT(*) AS c_bigram FROM occ GROUP BY 1),
+            pre AS (SELECT split_part(bigram, ' ', 1) AS prefix,
+                           COUNT(*) AS c_prefix FROM occ GROUP BY 1),
+            voc AS (SELECT COUNT(DISTINCT wrd) AS v
+                    FROM (SELECT unnest(w) AS wrd FROM wd)),
+            j AS (
+              SELECT o.doc_id,
+                     (1000000 * (b.c_bigram + 1)) // (p.c_prefix + voc.v) AS p_micro
+              FROM occ o
+              JOIN bg b USING (bigram)
+              JOIN pre p ON split_part(o.bigram, ' ', 1) = p.prefix
+              CROSS JOIN voc
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(CAST(SUM(p_micro) AS BIGINT) // COUNT(*) AS BIGINT) AS score_micro
+            FROM j GROUP BY 1
         """,
         "sample_stratified": f"""
             SELECT doc_id, source,

@@ -389,6 +389,45 @@ def minhash_lsh_pairs(
     return result
 
 
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, threshold: int = 5
+) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining-data step of
+    flagging training documents that overlap an evaluation set:
+    (doc_id, n_overlap, is_contaminated) where n_overlap = |distinct
+    3-gram shingles shared with ANY benchmark doc| and is_contaminated =
+    1 iff n_overlap >= threshold. Benchmark members themselves flag (they
+    share all their own shingles) — the correct semantics for an eval set
+    drawn from the corpus.
+
+    Scale shape (10^12 training docs x a ~10^5-doc benchmark): the
+    benchmark shingle set is the SMALL side, so it broadcasts; the
+    per-doc overlap is one hash probe per shingle (broadcast hash join)
+    followed by a map-side-combinable groupBy — the corpus is never
+    shuffled wide, and docs with zero overlap rejoin via a left join
+    whose right side is only the contaminated/overlapping docs (AQE
+    broadcasts it when small)."""
+    bench_g = shingles(benchmark).select("g").distinct()
+    hits = (
+        shingles(docs)
+        .select("doc_id", "g")
+        .join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("coalesce(n_overlap, 0L)").alias("n_overlap"),
+            F.expr(
+                f"cast(coalesce(n_overlap, 0L) >= {threshold} as int)"
+            ).alias("is_contaminated"),
+        )
+    )
+
+
 def simhash_expr(text_col: str = "text") -> str:
     """The 32-bit SimHash of a text column as ONE SQL expression (usable in
     any projection, including streaming key_exprs): bit_j = 1 iff sum over

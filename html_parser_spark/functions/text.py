@@ -143,6 +143,66 @@ def tf_idf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document —
+    the classic perplexity-style quality filter, in LOG-FREE integer
+    arithmetic so the DuckDB oracle matches bit-for-bit, with add-one
+    (Laplace) smoothing over the corpus vocabulary V:
+
+        p_micro(w1 w2)  = div(1e6 * (C(w1 w2) + 1), C(w1 ._) + V)
+        score_micro     = div(sum of p_micro over the doc's bigrams,
+                              n_bigrams)
+
+    (C(w1 ._) counts w1 as a bigram PREFIX — the proper conditional
+    denominator.) The smoothing is load-bearing, not a nicety: the raw
+    ratio degenerates to p = 1/1 for hapax prefixes, scoring GIBBERISH
+    with unique words at the maximum (observed before smoothing); with
+    +V in the denominator a once-seen transition scores ~2e6/V while
+    genuinely common transitions keep high mass. High score = the doc's
+    word transitions are common in the corpus. The model trains on the
+    same corpus it scores (standard for quality filtering; a held-out
+    split is a caller choice of `docs`).
+
+    Plan shape: bigram and prefix counts are map-side-combinable groupBys;
+    a doc's bigram stream joins the count tables on the bigram/prefix keys
+    (AQE broadcasts small vocabularies) and folds back per doc. The
+    explode is inherent to corpus LM training; nothing is quadratic.
+    Docs with fewer than 2 words have no bigrams and emit no row."""
+    w = "words"
+    bigram_expr = (
+        f"filter(zip_with({w}, slice({w}, 2, greatest(size({w}) - 1, 0)), "
+        "(x, y) -> concat(x, ' ', y)), s -> s is not null)"
+    )
+    occ = with_words(docs).select(
+        "doc_id", F.explode(F.expr(bigram_expr)).alias("bigram")
+    )
+    bg_counts = occ.groupBy("bigram").agg(F.count("*").alias("c_bigram"))
+    pre_counts = (
+        occ.select(F.expr("split_part(bigram, ' ', 1)").alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("c_prefix"))
+    )
+    vocab = (
+        with_words(docs)
+        .select(F.explode("words").alias("wrd"))
+        .agg(F.count_distinct("wrd").alias("v"))
+    )
+    return (
+        occ.join(bg_counts, "bigram")
+        .withColumn("prefix", F.expr("split_part(bigram, ' ', 1)"))
+        .join(pre_counts, "prefix")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p_micro", F.expr("div(1000000 * (c_bigram + 1), c_prefix + v)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("div(sum(p_micro), count(*))").alias("score_micro"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — Rabin-Karp rolling hash over the word stream:
     acc = (acc * 1000003 + h(word)) mod (2^31-1), h = first 32 md5 bits.
