@@ -1163,25 +1163,29 @@ def oracle_sql() -> dict[str, str]:
             ),
             -- forward JFIF + DC-only quant round trip (core/jpeg.py contract:
             -- every rounding is floor(x + 0.5), Q = 16 luma / 24 chroma)
+            -- every fractional literal is written in e-notation so DuckDB
+            -- parses it as DOUBLE: bare 0.299 is DECIMAL, whose EXACT
+            -- arithmetic lands ties (…= .500) that float64 misses by 1 ulp —
+            -- observed on ~1/1000 fills as a one-quant-step luma shift
             ycc AS (
               SELECT *,
-                floor(0.299 * fr + 0.587 * fg + 0.114 * fb + 0.5) AS y,
-                floor(-0.168736 * fr - 0.331264 * fg + 0.5 * fb + 128 + 0.5) AS cb,
-                floor(0.5 * fr - 0.418688 * fg - 0.081312 * fb + 128 + 0.5) AS cr
+                floor(0.299e0 * fr + 0.587e0 * fg + 0.114e0 * fb + 0.5e0) AS y,
+                floor(-0.168736e0 * fr - 0.331264e0 * fg + 0.5e0 * fb + 128 + 0.5e0) AS cb,
+                floor(0.5e0 * fr - 0.418688e0 * fg - 0.081312e0 * fb + 128 + 0.5e0) AS cr
               FROM p
             ),
             rt AS (
               SELECT *,
-                least(255, greatest(0, floor(16 * floor(8 * (y - 128) / 16 + 0.5) / 8 + 128 + 0.5))) AS y2,
-                least(255, greatest(0, floor(24 * floor(8 * (cb - 128) / 24 + 0.5) / 8 + 128 + 0.5))) AS cb2,
-                least(255, greatest(0, floor(24 * floor(8 * (cr - 128) / 24 + 0.5) / 8 + 128 + 0.5))) AS cr2
+                least(255, greatest(0, floor(16 * floor(8 * (y - 128) / 16 + 0.5e0) / 8 + 128 + 0.5e0))) AS y2,
+                least(255, greatest(0, floor(24 * floor(8 * (cb - 128) / 24 + 0.5e0) / 8 + 128 + 0.5e0))) AS cb2,
+                least(255, greatest(0, floor(24 * floor(8 * (cr - 128) / 24 + 0.5e0) / 8 + 128 + 0.5e0))) AS cr2
               FROM ycc
             ),
             rgb AS (
               SELECT *,
-                least(255, greatest(0, floor(y2 + 1.402 * (cr2 - 128) + 0.5))) AS r2,
-                least(255, greatest(0, floor(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128) + 0.5))) AS g2,
-                least(255, greatest(0, floor(y2 + 1.772 * (cb2 - 128) + 0.5))) AS b2
+                least(255, greatest(0, floor(y2 + 1.402e0 * (cr2 - 128) + 0.5e0))) AS r2,
+                least(255, greatest(0, floor(y2 - 0.344136e0 * (cb2 - 128) - 0.714136e0 * (cr2 - 128) + 0.5e0))) AS g2,
+                least(255, greatest(0, floor(y2 + 1.772e0 * (cb2 - 128) + 0.5e0))) AS b2
               FROM rt
             )
             SELECT doc_id, 'jpeg' AS format, 'decoded' AS outcome,
