@@ -27,6 +27,11 @@ SCALE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # smaller Arrow batches pipeline the mapInArrow kernels better than the
+    # 10k default (interleaved A/B on the 2M-doc headline: min wall 7.14 ->
+    # 6.58 s at 4096; 20k regresses) and bound per-batch kernel memory under
+    # mega-doc skew
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
 }
 
 
