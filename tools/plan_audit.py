@@ -173,6 +173,21 @@ def main() -> int:
     )
 
     audit(
+        "decontaminate_overlap",
+        qs["decontaminate_overlap"](spark, sf_dir),
+        [
+            ("bench shingles broadcast into the overlap probe; the corpus "
+             "is never shuffled wide (two Exchanges: overlap groupBy + "
+             "bench distinct)",
+             lambda p: p.count("BroadcastHashJoin") >= 2
+             and len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2),
+            ("map-side partial overlap counts", lambda p: "partial_count" in p),
+            ("the all-docs left side prunes to doc_id only",
+             lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+        ],
+    )
+
+    audit(
         "pipeline_clean_corpus",
         qs["pipeline_clean_corpus"](spark, sf_dir),
         [
