@@ -27,11 +27,12 @@ SCALE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    # smaller Arrow batches pipeline the mapInArrow kernels better than the
-    # 10k default (interleaved A/B on the 2M-doc headline: min wall 7.14 ->
-    # 6.58 s at 4096; 20k regresses) and bound per-batch kernel memory under
-    # mega-doc skew
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # NOT set here: spark.sql.execution.arrow.maxRecordsPerBatch. Measured
+    # both ways — 4096 beat the 10k default at local[32] with 128 input
+    # partitions (7.14 -> 6.58 s), but REGRESSED the scaling protocol's
+    # local[16] / 8 MB-split shape (10.7 -> 12.1 s median, interleaved).
+    # Batch size interacts with split sizing and worker count; leave the
+    # default and tune per deployment, not globally.
 }
 
 
