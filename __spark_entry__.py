@@ -406,6 +406,16 @@ def q_multimodal_gif(spark, sf_dir):
     return image_features(attach_gif(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_gif_frames(spark, sf_dir):
+    """GIF animation metadata: frame count via the sub-block walk (no pixel
+    decompression — the Y4M-style only-touch-what-you-need property) plus
+    first-frame dims. Closed form: n_frames = 1 + d6 % 4, dims as in
+    multimodal_gif_decode."""
+    from html_parser_spark.operators.multimodal import attach_gif, gif_frame_stats
+
+    return gif_frame_stats(attach_gif(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_jpeg(spark, sf_dir):
     """REAL baseline-JPEG decode end-to-end: synthesize a baseline 4:4:4
     JPEG per document (params from the FRESH stream md5(text||'jpg'):
@@ -548,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_decode": q_multimodal_image,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg_decode": q_multimodal_jpeg,
         "multimodal_audio_meta": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
@@ -1150,6 +1161,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(fg * (w * h - 1) + 255 AS BIGINT) AS sum_g,
                    CAST(fb * (w * h - 1) + 255 AS BIGINT) AS sum_b
             FROM d
+        """,
+        "multimodal_gif_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'decoded' AS outcome,
+                   CAST(1 + CAST('0x' || substr(md5(text || 'gif'), 13, 2) AS INTEGER) % 4 AS INTEGER) AS n_frames,
+                   CAST(4 + CAST('0x' || substr(md5(text || 'gif'), 1, 2) AS INTEGER) % 13 AS INTEGER) AS width,
+                   CAST(4 + CAST('0x' || substr(md5(text || 'gif'), 3, 2) AS INTEGER) % 13 AS INTEGER) AS height
+            FROM documents
         """,
         "multimodal_jpeg_decode": """
             WITH p AS (

@@ -245,38 +245,55 @@ def synth_gif(
     fill_rgb: tuple[int, int, int],
     corner_white: bool = True,
     interlace: bool = False,
+    frames: int = 1,
 ) -> bytes:
-    """A correct single-frame GIF89a: 4-entry global color table (fill,
-    white, 2 padding), constant fill with one white top-left pixel, LZW
-    pixel data in 255-byte sub-blocks, optional interlaced row order.
-    Deterministic bytes."""
-    idx = np.zeros((height, width), dtype=np.uint8)
-    if corner_white and width and height:
-        idx[0, 0] = 1
-    if interlace:
-        h = height
-        order = (
-            list(range(0, h, 8))
-            + list(range(4, h, 8))
-            + list(range(2, h, 4))
-            + list(range(1, h, 2))
-        )
-        idx = idx[order]
-    palette = bytes(fill_rgb) + b"\xff\xff\xff" + b"\x00\x00\x00" * 2
-    lzw = _lzw_encode(idx.tobytes(), 2)
-    blocks = bytearray()
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        blocks.append(len(chunk))
-        blocks.extend(chunk)
-    blocks.append(0)
-    return (
+    """A correct GIF89a: 4-entry global color table (fill, white, 2
+    padding), constant fill with one white top-left pixel, LZW pixel data
+    in 255-byte sub-blocks, optional interlaced row order. frames > 1
+    appends extra full-size image descriptors, each with a LOCAL color
+    table whose fill is rotated by 37*f per channel (frame 0 keeps the
+    global table, so first-frame decodes are unchanged). Deterministic
+    bytes."""
+
+    def frame_pixels() -> bytes:
+        idx = np.zeros((height, width), dtype=np.uint8)
+        if corner_white and width and height:
+            idx[0, 0] = 1
+        if interlace:
+            h = height
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            idx = idx[order]
+        lzw = _lzw_encode(idx.tobytes(), 2)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks.append(len(chunk))
+            blocks.extend(chunk)
+        blocks.append(0)
+        return bytes([2]) + bytes(blocks)  # LZW min code size + sub-blocks
+
+    def palette_for(f: int) -> bytes:
+        fill = bytes((c + 37 * f) % 256 for c in fill_rgb)
+        return fill + b"\xff\xff\xff" + b"\x00\x00\x00" * 2
+
+    out = bytearray(
         b"GIF89a"
         + struct.pack("<HHBBB", width, height, 0x80 | 0x01, 0, 0)  # GCT, 4 colors
-        + palette
-        + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlace else 0)
-        + bytes([2])  # LZW min code size
-        + bytes(blocks)
-        + b"\x3b"
+        + palette_for(0)
     )
+    body = frame_pixels()
+    for f in range(max(1, frames)):
+        iflags = 0x40 if interlace else 0
+        if f > 0:
+            iflags |= 0x80 | 0x01  # local color table, 4 colors
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+        if f > 0:
+            out += palette_for(f)
+        out += body
+    out += b"\x3b"
+    return bytes(out)

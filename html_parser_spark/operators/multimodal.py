@@ -183,8 +183,11 @@ def attach_gif(docs: DataFrame) -> DataFrame:
     per document. Params come from the FRESH byte stream md5(text || 'gif')
     (the md5(text) and md5(text||'png') streams are claimed — non-overlap
     rule): width = 4 + d0 % 13, height = 4 + d1 % 13, fill RGB = d2..d4,
-    interlaced iff d5 is odd, one white top-left pixel. Deterministic ->
-    closed-form SQL oracle; interlacing exercises the 4-pass reorder."""
+    interlaced iff d5 is odd, one white top-left pixel, and 1 + d6 % 4
+    animation frames (frame 0 keeps the global palette, so first-frame
+    decodes are unchanged; later frames rotate the fill via local color
+    tables). Deterministic -> closed-form SQL oracle; interlacing
+    exercises the 4-pass reorder."""
     from ..core.gif import synth_gif
 
     def kernel(batches):
@@ -207,6 +210,7 @@ def attach_gif(docs: DataFrame) -> DataFrame:
                         4 + d[1] % 13,
                         (d[2], d[3], d[4]),
                         interlace=d[5] % 2 == 1,
+                        frames=1 + d[6] % 4,
                     )
                 )
             yield pa.RecordBatch.from_arrays(
@@ -266,6 +270,73 @@ def attach_jpeg(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     ).mapInArrow(kernel, schema=out_schema)
+
+
+GIF_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("outcome", StringType()),  # decoded|undecodable
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def gif_frame_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Animation metadata over a GIF binary column (mapInArrow): frame
+    count WITHOUT decompressing any pixel data (the sub-block walk skips
+    payload by length bytes — the property that matters when only the
+    k-th frame of a long animation is wanted, like Y4M frame sampling)
+    plus first-frame dimensions from a real decode. Malformed payloads
+    surface outcome='undecodable', never a stage failure."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.gif import decode_gif, gif_frame_count
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("n_frames", pa.int32()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            out = {k: [] for k in ("id", "oc", "nf", "w", "h")}
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                data = bytes(p) if p is not None else b""
+                nf = gif_frame_count(data)
+                img = decode_gif(data) if nf else None
+                if nf and img is not None:
+                    row = ("decoded", nf, img.shape[1], img.shape[0])
+                else:
+                    row = ("undecodable", 0, 0, 0)
+                out["id"].append(str(doc_id))
+                for k, v in zip(("oc", "nf", "w", "h"), row):
+                    out[k].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["id"], pa.string()),
+                    pa.array(out["oc"], pa.string()),
+                    pa.array(out["nf"], pa.int32()),
+                    pa.array(out["w"], pa.int32()),
+                    pa.array(out["h"], pa.int32()),
+                ],
+                schema=schema,
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=GIF_FRAME_STATS_SCHEMA)
 
 
 IMAGE_FEATURES_SCHEMA = StructType(

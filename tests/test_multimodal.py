@@ -314,8 +314,6 @@ def test_image_features_decodes_png(spark):
 def test_gif_round_trip_including_interlace():
     """Property: random dims/fills round-trip through the GIF writer/LZW
     decoder, plain and interlaced; frame counting walks without decoding."""
-    import numpy as np
-
     from html_parser_spark.core.gif import decode_gif, gif_frame_count, synth_gif
 
     rng = np.random.RandomState(17)
@@ -447,3 +445,28 @@ def test_png_palette_and_adam7():
         )
         got = decode_png(data)
         assert got is not None and (got == img).all(), (w, h)
+
+
+def test_gif_multiframe_and_frame_stats(spark):
+    """Multi-frame GIFs: descriptor count without pixel decompression,
+    first frame decodes with the GLOBAL palette (later frames use rotated
+    local tables and leave frame-0 output unchanged)."""
+    from html_parser_spark.core.gif import decode_gif, gif_frame_count, synth_gif
+    from html_parser_spark.operators.multimodal import gif_frame_stats
+
+    for frames in (1, 3):
+        b = synth_gif(7, 5, (10, 20, 30), frames=frames)
+        assert gif_frame_count(b) == frames
+        img = decode_gif(b)
+        assert img is not None and tuple(img[1, 1]) == (10, 20, 30)
+        assert tuple(img[0, 0]) == (255, 255, 255)
+
+    rows = [
+        ("anim", bytearray(synth_gif(6, 4, (1, 2, 3), frames=4))),
+        ("bad", bytearray(b"GIF89a truncated")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r.doc_id: r for r in gif_frame_stats(df).collect()}
+    a = got["anim"]
+    assert (a.outcome, a.n_frames, a.width, a.height) == ("decoded", 4, 6, 4)
+    assert got["bad"].outcome == "undecodable"
