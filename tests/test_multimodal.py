@@ -314,6 +314,8 @@ def test_image_features_decodes_png(spark):
 def test_gif_round_trip_including_interlace():
     """Property: random dims/fills round-trip through the GIF writer/LZW
     decoder, plain and interlaced; frame counting walks without decoding."""
+    import numpy as np
+
     from html_parser_spark.core.gif import decode_gif, gif_frame_count, synth_gif
 
     rng = np.random.RandomState(17)
