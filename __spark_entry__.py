@@ -164,6 +164,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(DD.plant_dups(_docs(spark, sf_dir)))
 
 
+def q_dedup_chunks(spark, sf_dir):
+    """C4/RefinedWeb-style sub-document dedup: 5-word-aligned chunks,
+    global first-occurrence survives, documents reassembled from surviving
+    chunks (a fully-duplicate doc keeps a row with n_kept=0, text_dedup='').
+    Runs over the planted corpus so exact copies exercise the empty path."""
+    return DD.chunk_dedup(DD.plant_dups(_docs(spark, sf_dir)))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_docs(spark, sf_dir))
 
@@ -178,6 +186,18 @@ def q_text_langid(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     return TXT.quality(_docs(spark, sf_dir))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals, shuffle-free per doc."""
+    return TXT.repetition(_docs(spark, sf_dir))
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrubbing over deterministically planted synthetic PII (the
+    corpus text is pure [a-z ], so emails/ids are injected from md5
+    streams first — same fixture style as plant_dups/multimodal)."""
+    return TXT.pii_redact(TXT.plant_pii(_docs(spark, sf_dir)))
 
 
 def q_text_fingerprint(spark, sf_dir):
@@ -535,10 +555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_chunks": q_dedup_chunks,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "text_pii_redact": q_text_pii_redact,
         "text_fingerprint": q_text_fingerprint,
         "text_topk_terms": q_text_topk_terms,
         "text_tfidf": q_text_tfidf,
@@ -754,6 +777,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
         """,
+        "dedup_chunks": f"""
+            WITH {_CORPUS.strip()},
+            ch AS (
+              SELECT doc_id, i - 1 AS chunk_idx, chunks[i] AS chunk
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '[a-z]+( [a-z]+){{0,4}}') AS chunks
+                    FROM corpus),
+                   LATERAL (SELECT unnest(generate_series(1, len(chunks))) AS i)
+            ),
+            r AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM ch
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                       ' ' ORDER BY chunk_idx), '') AS text_dedup
+            FROM r GROUP BY doc_id
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {_JACCARD_CTES.strip().lstrip(',').strip()}
             SELECT doc_a, doc_b, inter, union_sz, jacc_permille
@@ -855,6 +900,64 @@ def oracle_sql() -> dict[str, str]:
                          AND 3 * n_distinct_words >= n_words
                     THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
             FROM m
+        """,
+        "text_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            b AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+            ),
+            c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+            m AS (
+              SELECT doc_id,
+                     CAST(MAX(c) AS INTEGER) AS top_bigram_count,
+                     CAST(CAST(SUM(c) AS BIGINT) AS INTEGER) AS n_bigrams
+              FROM c GROUP BY doc_id
+            ),
+            j AS (
+              SELECT w.doc_id,
+                     CAST(len(ws) AS INTEGER) AS n_words,
+                     COALESCE(m.n_bigrams, 0) AS n_bigrams,
+                     COALESCE(m.top_bigram_count, 0) AS top_bigram_count,
+                     (1000 * (len(ws) - len(list_distinct(ws)))) // len(ws)
+                       AS dup_word_permille
+              FROM w LEFT JOIN m ON w.doc_id = m.doc_id
+            )
+            SELECT doc_id, n_words, n_bigrams, top_bigram_count, dup_word_permille,
+                   CASE WHEN n_bigrams = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (1000 * top_bigram_count) // n_bigrams
+                   END AS top_bigram_permille,
+                   CAST(CASE WHEN (CASE WHEN n_bigrams = 0 THEN CAST(0 AS BIGINT)
+                                        ELSE (1000 * top_bigram_count) // n_bigrams
+                                   END) <= 66
+                              AND dup_word_permille <= 600
+                         THEN 1 ELSE 0 END AS INTEGER) AS rep_ok
+            FROM j
+        """,
+        "text_pii_redact": """
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact ' || substr(md5(text), 1, 6) || '@example.com'
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN ' or ' || substr(md5(text), 9, 4) || '@mail.net'
+                                  ELSE '' END
+                          || ' ref '
+                          || CAST(CAST('0x' || substr(md5(text), 7, 6) AS BIGINT)
+                                  AS VARCHAR) AS text_pii
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id, text_pii,
+                     regexp_replace(text_pii, '[a-z0-9]+@[a-z]+[.][a-z]+',
+                                    '<EMAIL>', 'g') AS t1
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text_pii,
+                        '[a-z0-9]+@[a-z]+[.][a-z]+')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(t1, '[0-9]{4,}')) AS INTEGER) AS n_ids,
+                   regexp_replace(t1, '[0-9]{4,}', '<ID>', 'g') AS text_clean
+            FROM e
         """,
         "text_fingerprint": f"""
             SELECT doc_id,

@@ -101,6 +101,55 @@ def exact_groups(corpus: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_WORDS = 5
+
+
+def chunk_dedup(corpus: DataFrame, chunk_words: int = CHUNK_WORDS) -> DataFrame:
+    """Sub-document (line-level) corpus dedup, the C4/RefinedWeb move:
+    drop every repetition of a text span that occurs anywhere earlier in
+    the corpus and reassemble the surviving document text. This corpus has
+    no newlines, so a 'line' is a word-aligned run of ``chunk_words``
+    consecutive words (last chunk ragged) — chunked by ONE greedy regex
+    pass (`[a-z]+( [a-z]+){k}`) that both engines (Java regex / RE2)
+    tokenize identically; no lambda touches a split array (the
+    per-element re-evaluation trap).
+
+    Keeps the globally FIRST occurrence of each distinct chunk — order
+    (doc_id, chunk_idx) ascending — and returns per doc:
+    (doc_id, n_chunks, n_kept, text_dedup), where a fully-duplicate doc
+    keeps its row with n_kept = 0 and text_dedup = ''.
+
+    Scale shape: ONE wide exchange — a window over chunk text ranks
+    occurrences and row_number()=1 marks keepers, moving each occurrence
+    exactly once (a groupBy-winners + join-back would shuffle the
+    occurrence table twice) — then the per-doc reassembly groupBy.
+    Nothing is pairwise; chunk groups are tiny so the per-key sort is
+    O(copies log copies)."""
+    from pyspark.sql import Window
+
+    assert chunk_words == 5, "oracle SQL is written for chunk_words=5"
+    pat = "[a-z]+( [a-z]+){0,%d}" % (chunk_words - 1)
+    chunks = corpus.select(
+        "doc_id",
+        F.expr(f"posexplode(regexp_extract_all(text, '{pat}', 0))").alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("kept").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "case when kept = 1 then struct(chunk_idx, chunk) end)), "
+            "s -> s.chunk), ' ')"
+        ).alias("text_dedup"),
+    )
+
+
 def shingle_array_expr(n: int = 3) -> str:
     """SQL expression: the distinct HASHED word n-gram shingle set of `text`
     as an array<bigint> — the narrow-projection building block shared by the

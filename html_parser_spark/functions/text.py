@@ -203,6 +203,115 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document — the standard
+    pretraining filter for boilerplate-ish / degenerate text, computed as
+    a SHUFFLE-FREE narrow projection (no explode, no groupBy):
+
+      - dup_word_permille:   1000 * (n_words - n_distinct) / n_words
+      - top_bigram_count:    multiplicity of the most frequent word bigram
+      - top_bigram_permille: 1000 * top_bigram_count / n_bigrams
+      - rep_ok:              top_bigram_permille <= 66 AND
+                             dup_word_permille <= 600  (thresholds chosen
+                             to split this corpus ~p90, like Gopher's 0.18
+                             top-2gram fraction splits web text)
+
+    The per-doc "most frequent bigram" avoids any aggregation shuffle by
+    sorting the bigram array and folding a longest-equal-run accumulator
+    over it (`aggregate` with a struct state) — all inside whole-stage
+    codegen, O(n log n)/row. Bigrams come from zip_with over slices, never
+    indexing a lambda-built array (per-element re-eval trap)."""
+    w = "words"
+    bigrams = (
+        f"filter(zip_with({w}, slice({w}, 2, greatest(size({w}) - 1, 0)), "
+        "(x, y) -> concat(x, ' ', y)), s -> s is not null)"
+    )
+    run_best = (
+        f"aggregate(array_sort({bigrams}), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(a, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', if(a.prev is not null and x = a.prev, a.run + 1, 1), "
+        "  'best', greatest(a.best, "
+        "          if(a.prev is not null and x = a.prev, a.run + 1, 1))), "
+        "a -> a.best)"
+    )
+    return (
+        with_words(docs)
+        .select(
+            "doc_id",
+            F.expr("size(words)").alias("n_words"),
+            F.expr(f"size({bigrams})").alias("n_bigrams"),
+            F.expr(run_best).alias("top_bigram_count"),
+            F.expr(
+                "div(1000 * (size(words) - size(array_distinct(words))), size(words))"
+            ).alias("dup_word_permille"),
+        )
+        .withColumn(
+            "top_bigram_permille",
+            F.expr(
+                "if(n_bigrams = 0, cast(0 as bigint), "
+                "div(1000 * top_bigram_count, n_bigrams))"
+            ),
+        )
+        .withColumn(
+            "rep_ok",
+            F.expr(
+                "cast(top_bigram_permille <= 66 and dup_word_permille <= 600 as int)"
+            ),
+        )
+    )
+
+
+# PII patterns shared by the Spark path and the SQL oracle verbatim.
+# Character-class dot ([.]) instead of an escape: backslash escapes differ
+# between Spark SQL string literals and DuckDB, a literal class does not.
+PII_EMAIL_RE = "[a-z0-9]+@[a-z]+[.][a-z]+"
+PII_NUM_RE = "[0-9]{4,}"
+
+
+def plant_pii(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, text_pii) with deterministic synthetic PII
+    appended (the corpus text is pure [a-z ] by invariant, so real PII
+    cannot occur): an email whose local part is md5 hex chars, a numeric
+    id from an md5-derived decimal, and for every 3rd doc a second email —
+    mirroring the plant_dups / multimodal md5-stream fixture style so the
+    redaction oracle is closed-form."""
+    second = (
+        "if(doc_id % 3 = 0, "
+        "concat(' or ', substr(md5(text), 9, 4), '@mail.net'), '')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact ', substr(md5(text), 1, 6), '@example.com', "
+            f"{second}, "
+            "' ref ', conv(substr(md5(text), 7, 6), 16, 10))"
+        ).alias("text_pii"),
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text_pii") -> DataFrame:
+    """PII scrubbing over a text column, entirely JVM-side (regexp_replace
+    / regexp_extract_all inside whole-stage codegen — the 100 TB path is a
+    narrow projection with full pushdown): emails -> '<EMAIL>' first, then
+    4+ digit runs -> '<ID>' (ids are counted AFTER email removal so hex
+    digits inside a redacted local part are never double-counted).
+
+    Returns (doc_id, n_emails, n_ids, text_clean)."""
+    t1 = f"regexp_replace({text_col}, '{PII_EMAIL_RE}', '<EMAIL>')"
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(size(regexp_extract_all({text_col}, '{PII_EMAIL_RE}', 0)) as int)"
+        ).alias("n_emails"),
+        F.expr(
+            f"cast(size(regexp_extract_all({t1}, '{PII_NUM_RE}', 0)) as int)"
+        ).alias("n_ids"),
+        F.expr(f"regexp_replace({t1}, '{PII_NUM_RE}', '<ID>')").alias("text_clean"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — Rabin-Karp rolling hash over the word stream:
     acc = (acc * 1000003 + h(word)) mod (2^31-1), h = first 32 md5 bits.

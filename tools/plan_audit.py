@@ -202,6 +202,46 @@ def main() -> int:
     )
 
     audit(
+        "dedup_chunks",
+        qs["dedup_chunks"](spark, sf_dir),
+        [
+            ("two exchanges total: the first-occurrence window on chunk "
+             "and the per-doc reassembly groupBy",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2),
+            ("map-side partial aggregation for the reassembly",
+             lambda p: "partial_collect_list" in p),
+            ("chunking is one regex Generate, no indexing lambda over a "
+             "split array (the per-element re-evaluation trap)",
+             lambda p: "posexplode(regexp_extract_all" in p
+             and "transform(sequence" not in p),
+        ],
+    )
+
+    audit(
+        "text_repetition",
+        qs["text_repetition"](spark, sf_dir),
+        [
+            ("shuffle-free: the top-bigram fold is a narrow projection",
+             lambda p: "Exchange" not in p),
+            ("no row amplification (no Generate/explode)",
+             lambda p: "Generate" not in p),
+            ("scan pruned to doc_id,text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
+    audit(
+        "text_pii_redact",
+        qs["text_pii_redact"](spark, sf_dir),
+        [
+            ("shuffle-free narrow projection (regex scrub is JVM-side)",
+             lambda p: "Exchange" not in p),
+            ("scan pruned to doc_id,text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
+    audit(
         "events_hourly",
         qs["events_hourly"](spark, sf_dir),
         [
