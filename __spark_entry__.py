@@ -450,6 +450,24 @@ def q_multimodal_jpeg(spark, sf_dir):
     return image_features(attach_jpeg(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode end-to-end: synthesize a
+    five-scan progressive JPEG per document (params from the FRESH stream
+    md5(text||'jpp'): 8-multiple dims 8*(1+f0%6) x 8*(1+f1%6), fill
+    f2..f4) and decode it in pure Python (core/jpeg.py `_Progressive`:
+    DC-first + DC-refinement successive approximation, per-component
+    EOB-run AC scans, coefficient accumulation, one IDCT at EOI). Same
+    quant tables and rounding contract as the baseline, so the oracle's
+    closed form checks the multi-scan reconstruction exactly — including
+    that the refinement scan restores the DC low bit."""
+    from html_parser_spark.operators.multimodal import (
+        attach_progressive_jpeg,
+        image_features,
+    )
+
+    return image_features(attach_progressive_jpeg(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL audio decode end-to-end: synthesize a PCM16 WAV per document
     (square wave; params from md5(text) bytes 5..8) and decode with the
@@ -583,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "multimodal_jpeg_decode": q_multimodal_jpeg,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_audio_meta": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
         "layout_pdf_text": q_layout_pdf,
@@ -1281,6 +1300,51 @@ def oracle_sql() -> dict[str, str]:
                      CAST('0x' || substr(md5(text || 'jpg'), 5, 2) AS INTEGER) AS fr,
                      CAST('0x' || substr(md5(text || 'jpg'), 7, 2) AS INTEGER) AS fg,
                      CAST('0x' || substr(md5(text || 'jpg'), 9, 2) AS INTEGER) AS fb
+              FROM documents
+            ),
+            -- forward JFIF + DC-only quant round trip (core/jpeg.py contract:
+            -- every rounding is floor(x + 0.5), Q = 16 luma / 24 chroma)
+            -- every fractional literal is written in e-notation so DuckDB
+            -- parses it as DOUBLE: bare 0.299 is DECIMAL, whose EXACT
+            -- arithmetic lands ties (…= .500) that float64 misses by 1 ulp —
+            -- observed on ~1/1000 fills as a one-quant-step luma shift
+            ycc AS (
+              SELECT *,
+                floor(0.299e0 * fr + 0.587e0 * fg + 0.114e0 * fb + 0.5e0) AS y,
+                floor(-0.168736e0 * fr - 0.331264e0 * fg + 0.5e0 * fb + 128 + 0.5e0) AS cb,
+                floor(0.5e0 * fr - 0.418688e0 * fg - 0.081312e0 * fb + 128 + 0.5e0) AS cr
+              FROM p
+            ),
+            rt AS (
+              SELECT *,
+                least(255, greatest(0, floor(16 * floor(8 * (y - 128) / 16 + 0.5e0) / 8 + 128 + 0.5e0))) AS y2,
+                least(255, greatest(0, floor(24 * floor(8 * (cb - 128) / 24 + 0.5e0) / 8 + 128 + 0.5e0))) AS cb2,
+                least(255, greatest(0, floor(24 * floor(8 * (cr - 128) / 24 + 0.5e0) / 8 + 128 + 0.5e0))) AS cr2
+              FROM ycc
+            ),
+            rgb AS (
+              SELECT *,
+                least(255, greatest(0, floor(y2 + 1.402e0 * (cr2 - 128) + 0.5e0))) AS r2,
+                least(255, greatest(0, floor(y2 - 0.344136e0 * (cb2 - 128) - 0.714136e0 * (cr2 - 128) + 0.5e0))) AS g2,
+                least(255, greatest(0, floor(y2 + 1.772e0 * (cb2 - 128) + 0.5e0))) AS b2
+              FROM rt
+            )
+            SELECT doc_id, 'jpeg' AS format, 'decoded' AS outcome,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(w * h AS INTEGER) AS n_px,
+                   CAST(r2 * w * h AS BIGINT) AS sum_r,
+                   CAST(g2 * w * h AS BIGINT) AS sum_g,
+                   CAST(b2 * w * h AS BIGINT) AS sum_b
+            FROM rgb
+        """,
+        "multimodal_jpeg_progressive": """
+            WITH p AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     8 * (1 + CAST('0x' || substr(md5(text || 'jpp'), 1, 2) AS INTEGER) % 6) AS w,
+                     8 * (1 + CAST('0x' || substr(md5(text || 'jpp'), 3, 2) AS INTEGER) % 6) AS h,
+                     CAST('0x' || substr(md5(text || 'jpp'), 5, 2) AS INTEGER) AS fr,
+                     CAST('0x' || substr(md5(text || 'jpp'), 7, 2) AS INTEGER) AS fg,
+                     CAST('0x' || substr(md5(text || 'jpp'), 9, 2) AS INTEGER) AS fb
               FROM documents
             ),
             -- forward JFIF + DC-only quant round trip (core/jpeg.py contract:

@@ -1,4 +1,5 @@
-"""Pure-Python baseline JPEG decode + synthesis (stdlib + numpy only).
+"""Pure-Python baseline + progressive JPEG decode + synthesis (stdlib +
+numpy only).
 
 Baseline sequential JPEG (SOF0) is entropy coding (Huffman) + DCT — both
 implementable without a codec library, the same move that made PDF
@@ -9,9 +10,13 @@ canonical Huffman table construction, SOF0 with sampling factors up to
 block order per spec A.2.3, replication upsampling) or single-component
 grayscale, SOS, the entropy-coded segment with 0xFF00 byte unstuffing,
 DC difference coding, AC run-length/EOB/ZRL, dequantize + dezigzag,
-float IDCT, and JFIF YCbCr -> RGB. Progressive (SOF2), sampling factors
-beyond 2, 16-bit quant tables, arithmetic coding, and restart markers
-return None (honest unsupported, not a guess).
+float IDCT, and JFIF YCbCr -> RGB. Progressive (SOF2) is decoded too —
+spectral selection and successive approximation per spec G.2 (DC
+first/refine, AC first with EOB runs, AC refinement with correction
+bits), accumulating coefficients across scans and IDCTing once at EOI
+(see `_Progressive`). Sampling factors beyond 2, 16-bit quant tables,
+arithmetic coding (SOF9/SOF10), hierarchical, lossless, and restart
+intervals return None (honest unsupported, not a guess).
 
 The writer emits correct baseline JPEGs with valid-by-construction
 canonical Huffman tables (all DC categories at 4 bits, all AC symbols at
@@ -150,10 +155,11 @@ def _extend(v: int, size: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
-    """Baseline JPEG -> HxWx3 uint8 RGB (grayscale replicated to 3
-    channels; subsampled chroma upsampled by replication). None for
-    malformed input or honest-unsupported variants (progressive, sampling
-    factors beyond 2x2, 16-bit quant, restarts mid-scan)."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG -> HxWx3 uint8 RGB
+    (grayscale replicated to 3 channels; subsampled chroma upsampled by
+    replication). None for malformed input or honest-unsupported variants
+    (sampling factors beyond 2x2, 16-bit quant, arithmetic coding,
+    restart intervals)."""
     try:
         if data[:2] != b"\xff\xd8":
             return None
@@ -161,6 +167,7 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
         sof = None
+        prog: Optional[_Progressive] = None
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 return None
@@ -199,12 +206,33 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                         return None  # sampling factors beyond 2 unsupported
                     comps.append((cid, tq, hi, vi))
                 sof = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-                return None  # non-baseline frame types
+            elif marker == 0xC2:  # SOF2 progressive
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, sampling, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                    hi, vi = sampling >> 4, sampling & 0x0F
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        return None
+                    comps.append((cid, tq, hi, vi))
+                sof = (w, h, comps)
+                prog = _Progressive(w, h, comps)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # non-baseline/non-progressive frame types
+            elif marker == 0xDD:  # DRI
+                if struct.unpack_from(">H", seg, 0)[0] != 0:
+                    return None  # restart intervals unsupported (honest)
             elif marker == 0xDA:  # SOS
                 if sof is None:
                     return None
                 w, h, comps = sof
+                if prog is not None:
+                    pos = prog.decode_scan(data, pos, seg, huff)
+                    if pos is None:
+                        return None
+                    continue
                 ns = seg[0]
                 if ns != len(comps):
                     return None
@@ -218,8 +246,12 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                     tables.append((dc_t, ac_t, q, comps[c][2], comps[c][3]))
                 return _decode_scan(data, pos + seglen, w, h, tables)
             elif marker == 0xD9:
+                if prog is not None:
+                    return prog.finish(qt)
                 return None
             pos += seglen
+        if prog is not None and prog.any_scan:
+            return prog.finish(qt)  # EOI truncated but scans decoded
         return None
     except Exception:
         return None
@@ -270,13 +302,22 @@ def _decode_scan(data, pos, w, h, tables) -> Optional[np.ndarray]:
                         y0 = (my * vi + byi) * 8
                         x0 = (mx * hi + bxi) * 8
                         planes[c][y0 : y0 + 8, x0 : x0 + 8] = px
+    hv = [(hi, vi) for (_dc, _ac, _q, hi, vi) in tables]
+    return _planes_to_rgb(planes, hv, w, h)
+
+
+def _planes_to_rgb(planes, hv, w, h) -> np.ndarray:
+    """Shared tail of baseline and progressive decode: round, clamp,
+    replication-upsample subsampled planes, JFIF color convert."""
+    hmax = max(hi for hi, _vi in hv)
+    vmax = max(vi for _hi, vi in hv)
     out = []
-    for p, (_dc, _ac, _q, hi, vi) in zip(planes, tables):
+    for p, (hi, vi) in zip(planes, hv):
         p = np.clip(_round_half_up(p), 0, 255)
         if hi < hmax or vi < vmax:  # nearest (replication) upsampling
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out.append(p[:h, :w])
-    if nc == 1:
+    if len(out) == 1:
         g = out[0].astype(np.uint8)
         return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
     y, cb, cr = out
@@ -286,6 +327,217 @@ def _decode_scan(data, pos, w, h, tables) -> Optional[np.ndarray]:
     b_ = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r_, g_, b_], axis=-1)
     return np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+class _Progressive:
+    """Coefficient accumulator for progressive scans (JPEG spec G.2 /
+    the libjpeg-documented algorithms, reimplemented): DC first/refine,
+    AC first with EOB runs, AC refinement with correction bits. Scans
+    update a per-component zigzag-order coefficient store; `finish`
+    dequantizes, IDCTs and color-converts once at EOI."""
+
+    def __init__(self, w: int, h: int, comps):
+        self.w, self.h, self.comps = w, h, comps
+        self.hmax = max(c[2] for c in comps)
+        self.vmax = max(c[3] for c in comps)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        # padded block grids (interleaved-DC superset of the ceil grids)
+        self.coef = [
+            np.zeros((self.mcuy * vi, self.mcux * hi, 64), dtype=np.int64)
+            for (_cid, _tq, hi, vi) in comps
+        ]
+        self.any_scan = False
+
+    def decode_scan(self, data: bytes, pos: int, seg: bytes, huff):
+        """Decode ONE scan starting at the SOS segment `seg` (payload
+        after the length); returns the offset of the next marker's 0xFF,
+        or None on malformed/unsupported input."""
+        ns = seg[0]
+        sel = []  # (comp_index, dc_table, ac_table)
+        for i in range(ns):
+            cid, t = seg[1 + 2 * i], seg[2 + 2 * i]
+            ci = next(
+                (j for j, c in enumerate(self.comps) if c[0] == cid), None
+            )
+            if ci is None:
+                return None
+            sel.append((ci, huff.get((0, t >> 4)), huff.get((1, t & 0x0F))))
+        ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        r = _BitReader(data, pos + len(seg) + 2)
+        self.any_scan = True
+        if ss == 0:
+            if se != 0:
+                return None
+            self._dc_scan(r, sel, ah, al)
+        else:
+            if ns != 1 or se > 63 or ss > se:
+                return None
+            self._ac_scan(r, sel[0], ss, se, ah, al)
+        # advance to the next marker (skip pad bits / stuffed bytes)
+        p = r.pos
+        n = len(data)
+        while p + 1 < n:
+            if data[p] == 0xFF and data[p + 1] != 0x00:
+                if 0xD0 <= data[p + 1] <= 0xD7:
+                    return None  # restart marker: DRI unsupported
+                return p
+            p += 1
+        return None  # scan ran to EOF without a closing marker
+
+    # -- DC ---------------------------------------------------------------
+
+    def _dc_scan(self, r, sel, ah, al):
+        pred = [0] * len(sel)
+        if len(sel) == 1:
+            # non-interleaved single-component scan: raster over its grid
+            ci, dc_t, _ac_t = sel[0]
+            _cid, _tq, hi, vi = self.comps[ci]
+            bw = (-(-self.w * hi // self.hmax) + 7) // 8
+            bh = (-(-self.h * vi // self.vmax) + 7) // 8
+            for by in range(bh):
+                for bx in range(bw):
+                    self._dc_block(
+                        r, dc_t, self.coef[ci], by, bx, ah, al, pred, 0
+                    )
+            return
+        for my in range(self.mcuy):  # interleaved: MCU order (spec A.2.3)
+            for mx in range(self.mcux):
+                for si, (ci, dc_t, _ac_t) in enumerate(sel):
+                    _cid, _tq, hi, vi = self.comps[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            by, bx = my * vi + byi, mx * hi + bxi
+                            self._dc_block(
+                                r, dc_t, self.coef[ci], by, bx, ah, al,
+                                pred, si,
+                            )
+
+    def _dc_block(self, r, dc_t, coef, by, bx, ah, al, pred, si):
+        if ah == 0:  # first scan: diff-coded point-transformed DC
+            if dc_t is None:
+                raise ValueError("missing DC table")
+            size = r.read_symbol(dc_t)
+            pred[si] += _extend(r.read_bits(size), size)
+            coef[by, bx, 0] = pred[si] << al
+        else:  # refinement: one raw bit (two's-complement OR)
+            if r.read_bit():
+                coef[by, bx, 0] |= 1 << al
+
+    # -- AC ---------------------------------------------------------------
+
+    def _ac_scan(self, r, one, ss, se, ah, al):
+        ci, _dc_t, ac_t = one
+        if ac_t is None:
+            raise ValueError("missing AC table")
+        _cid, _tq, hi, vi = self.comps[ci]
+        bw = (-(-self.w * hi // self.hmax) + 7) // 8
+        bh = (-(-self.h * vi // self.vmax) + 7) // 8
+        eobrun = 0
+        for by in range(bh):
+            for bx in range(bw):
+                blk = self.coef[ci][by, bx]
+                if ah == 0:
+                    eobrun = self._ac_first(r, ac_t, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = self._ac_refine(r, ac_t, blk, ss, se, al, eobrun)
+
+    @staticmethod
+    def _ac_first(r, ac_t, blk, ss, se, al, eobrun):
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = r.read_symbol(ac_t)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run != 15:  # EOBn: run of (1<<run)+bits end-of-band blocks
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.read_bits(run)
+                    return eobrun
+                k += 16  # ZRL
+            else:
+                k += run
+                if k > se:
+                    raise ValueError("ac overflow")
+                blk[k] = _extend(r.read_bits(size), size) << al
+                k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(r, ac_t, blk, ss, se, al, eobrun):
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(k):
+            if r.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = r.read_symbol(ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                val = 0
+                if size == 0:
+                    if run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += r.read_bits(run)
+                        break  # refine the rest of this block below
+                    # ZRL: skip 16 zero-history coeffs
+                else:
+                    if size != 1:
+                        raise ValueError("bad refine size")
+                    val = p1 if r.read_bit() else m1
+                # advance past `run` zero-history coeffs, correcting
+                # nonzero-history ones en route
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- finish -----------------------------------------------------------
+
+    def finish(self, qt) -> Optional[np.ndarray]:
+        if not self.any_scan:
+            return None
+        planes = []
+        hv = []
+        for (cid_tq_hi_vi, coef) in zip(self.comps, self.coef):
+            _cid, tq, hi, vi = cid_tq_hi_vi
+            q = qt.get(tq)
+            if q is None:
+                return None
+            deq = coef * q[None, None, :]
+            nat = np.zeros_like(deq)
+            nat[:, :, ZIGZAG] = deq
+            bh, bw = nat.shape[:2]
+            f = nat.reshape(bh, bw, 8, 8).astype(np.float64)
+            px = np.einsum("ij,abjk,kl->abil", _D.T, f, _D) + 128.0
+            plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            planes.append(plane)
+            hv.append((hi, vi))
+        return _planes_to_rgb(planes, hv, self.w, self.h)
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +643,100 @@ def synth_jpeg(width: int, height: int, fill_rgb: tuple[int, int, int]) -> bytes
                 _emit_coeff(wtr, _AC_ENC, 0x00, 0)  # EOB: constant block
     wtr.flush()
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# progressive writer AC table: adds the EOBn symbols (r<<4, r=0..14) the
+# baseline table never needs; 176 symbols, all at 8 bits (legal DHT)
+_ACP_VALS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ACP_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+_ACP_ENC = _encode_codes(_ACP_BITS, _ACP_VALS)
+
+
+def synth_progressive_jpeg(
+    width: int, height: int, fill_rgb: tuple[int, int, int]
+) -> bytes:
+    """A correct PROGRESSIVE (SOF2) 4:4:4 JPEG with the same constant-fill
+    closed form as synth_jpeg (same quant tables, DC exact after the
+    refinement scan, AC all zero): five scans — interleaved DC first at
+    Al=1, DC refinement delivering the low bit, then one AC scan per
+    component whose blocks collapse into a single EOBn run (exercising
+    the end-of-band run-length path end-to-end). Deterministic bytes."""
+    assert width % 8 == 0 and height % 8 == 0 and width and height
+    r, g, b = (float(c) for c in fill_rgb)
+    y = float(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
+    cb = float(np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5))
+    cr = float(np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5))
+    dcs = [
+        int(np.floor(8.0 * (y - 128.0) / Q_LUMA + 0.5)),
+        int(np.floor(8.0 * (cb - 128.0) / Q_CHROMA + 0.5)),
+        int(np.floor(8.0 * (cr - 128.0) / Q_CHROMA + 0.5)),
+    ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    inv = np.zeros(64, dtype=np.uint8)
+    inv[ZIGZAG] = np.arange(64)
+    for tq, q in ((0, Q_LUMA), (1, Q_CHROMA)):
+        table = np.full(64, q, dtype=np.uint8)
+        out += seg(0xDB, bytes([tq]) + table[inv].tobytes())
+    out += seg(
+        0xC2,  # SOF2
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tc_th, bits, vals in (
+        (0x00, _DC_BITS, _DC_VALS),
+        (0x10, _ACP_BITS, _ACP_VALS),
+        (0x01, _DC_BITS, _DC_VALS),
+        (0x11, _ACP_BITS, _ACP_VALS),
+    ):
+        out += seg(0xC4, bytes([tc_th] + bits + vals))
+    nblocks = (width // 8) * (height // 8)
+
+    # scan 1: DC first, interleaved, Ah=0 Al=1 (diff-coded dc >> 1)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]))
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    for _i in range(nblocks):
+        for c in range(3):
+            v = dcs[c] >> 1
+            diff = v - pred[c]
+            pred[c] = v
+            _emit_coeff(wtr, _DC_ENC, _category(diff), diff)
+    wtr.flush()
+    out += wtr.out
+
+    # scan 2: DC refinement, Ah=1 Al=0 (one raw low bit per block)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10]))
+    wtr = _BitWriter()
+    for _i in range(nblocks):
+        for c in range(3):
+            wtr.write(dcs[c] & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # scans 3-5: one AC scan per component, Ss=1 Se=63, all-zero blocks
+    # collapsed into one EOBn run of exactly `nblocks` end-of-band blocks
+    for cid, t in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += seg(0xDA, bytes([1, cid, t, 1, 63, 0x00]))
+        wtr = _BitWriter()
+        n = nblocks
+        while n > 0:
+            rr = min(14, n.bit_length() - 1)
+            length, code = _ACP_ENC[rr << 4]
+            wtr.write(code, length)
+            if rr:
+                wtr.write(n - (1 << rr), rr)
+            n -= (1 << rr) + (n - (1 << rr)) if rr else 1
+        wtr.flush()
+        out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -56,11 +56,11 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 def real_decoder(payload: bytes) -> dict:
     """Real decode for formats a pure-Python kernel can honestly handle
     (24-bit BMP, 8-bit truecolor PNG via core/image.py, GIF via
-    core/gif.py, baseline JPEG via core/jpeg.py); a JPEG variant beyond
-    the implemented baseline (progressive, sampling beyond 2x2) raises the
-    explicit stub error — decoding those requires a full codec library.
-    For the graceful (row-outcome) form of the same routing, use
-    image_features()."""
+    core/gif.py, baseline AND progressive JPEG via core/jpeg.py); a JPEG
+    variant beyond those (arithmetic coding, sampling beyond 2x2, restart
+    intervals) raises the explicit stub error — decoding those requires a
+    full codec library. For the graceful (row-outcome) form of the same
+    routing, use image_features()."""
     from ..core.gif import decode_gif
     from ..core.image import decode_bmp, decode_png, sniff_format
     from ..core.jpeg import decode_jpeg
@@ -70,8 +70,9 @@ def real_decoder(payload: bytes) -> dict:
         img = decode_jpeg(payload)
         if img is None:
             raise NotImplementedError(
-                "JPEG variant beyond the implemented baseline (progressive, "
-                "sampling beyond 2x2, or malformed) requires a codec library not "
+                "JPEG variant beyond the implemented baseline/progressive "
+                "decoders (arithmetic coding, sampling beyond 2x2, restart "
+                "intervals, or malformed) requires a codec library not "
                 "present in this environment"
             )
         h, w = img.shape[:2]
@@ -255,6 +256,54 @@ def attach_jpeg(docs: DataFrame) -> DataFrame:
                 e = hashlib.md5(((text or "") + "jpg").encode("utf-8")).digest()
                 payloads.append(
                     synth_jpeg(8 * (1 + e[0] % 6), 8 * (1 + e[1] % 6), (e[2], e[3], e[4]))
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def attach_progressive_jpeg(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary) with a REAL synthesized
+    PROGRESSIVE (SOF2) JPEG per document: five scans (interleaved DC first
+    at Al=1, DC refinement, then one EOB-run AC scan per component).
+    Params come from the FRESH byte stream md5(text || 'jpp') (the 'jpg'
+    stream is claimed by the baseline fixture — non-overlap rule):
+    width = 8 * (1 + f0 % 6), height = 8 * (1 + f1 % 6), fill RGB =
+    f2..f4. Same quant tables and rounding contract as synth_jpeg, so the
+    decoded output has the SAME closed form as the baseline query — the
+    oracle checks the full multi-scan coefficient accumulation end-to-end.
+    Deterministic bytes."""
+    from ..core.jpeg import synth_progressive_jpeg
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                f = hashlib.md5(((text or "") + "jpp").encode("utf-8")).digest()
+                payloads.append(
+                    synth_progressive_jpeg(
+                        8 * (1 + f[0] % 6), 8 * (1 + f[1] % 6), (f[2], f[3], f[4])
+                    )
                 )
             yield pa.RecordBatch.from_arrays(
                 [

@@ -128,7 +128,8 @@ def test_malformed_and_unsupported_return_none():
     bad = bytearray(good)
     bad[2] = 0x00  # break marker sync
     assert J.decode_jpeg(bytes(bad)) is None
-    # progressive (SOF2) is honestly unsupported
+    # a BASELINE scan header (Ss=0, Se=63) is illegal under SOF2: the
+    # progressive path rejects it rather than guessing
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert J.decode_jpeg(prog) is None
     # sampling factors beyond 2 are honestly unsupported
@@ -186,3 +187,223 @@ def test_420_subsampled_decode():
         b2 = int(np.floor(yv + 1.772 * (cb2 - 128.0) + 0.5))
         uniq = np.unique(region.reshape(-1, 3), axis=0)
         assert len(uniq) == 1 and tuple(uniq[0]) == (r2, g2, b2), (y0, x0, uniq)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def _flush_eobrun(wtr, enc, eobrun, corr):
+    """Emit a pending EOBn run plus its buffered correction bits."""
+    if eobrun > 0:
+        rr = eobrun.bit_length() - 1
+        assert rr <= 14
+        length, code = enc[rr << 4]
+        wtr.write(code, length)
+        if rr:
+            wtr.write(eobrun - (1 << rr), rr)
+    for bit in corr:
+        wtr.write(bit, 1)
+    return 0, []
+
+
+def _ac_first_scan(wtr, enc, blocks, ss, se, al):
+    """AC first scan: encode the point transform v >> al (toward zero),
+    with run/size symbols, ZRL, and EOBn runs across all-zero bands."""
+    eobrun = 0
+    for zz in blocks:
+        t = [int(v) >> al if v >= 0 else -((-int(v)) >> al) for v in zz]
+        nz = [k for k in range(ss, se + 1) if t[k] != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _flush_eobrun(wtr, enc, eobrun, [])
+            continue
+        eobrun, _ = _flush_eobrun(wtr, enc, eobrun, [])
+        k = ss
+        for pos in nz:
+            run = pos - k
+            while run >= 16:
+                length, code = enc[0xF0]
+                wtr.write(code, length)
+                run -= 16
+            v = t[pos]
+            size = J._category(v)
+            length, code = enc[(run << 4) | size]
+            wtr.write(code, length)
+            wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
+            k = pos + 1
+        if nz[-1] < se:
+            eobrun += 1
+    _flush_eobrun(wtr, enc, eobrun, [])
+
+
+def _ac_refine_scan(wtr, enc, blocks, ss, se):
+    """AC refinement Ah=1 -> Al=0, following libjpeg's
+    encode_mcu_AC_refine exactly: the ZRL check runs at EVERY nonzero
+    coefficient so correction bits stay segmented per emitted symbol;
+    trailing runs and correction bits ride with the EOB run."""
+    eobrun = 0
+    corr = []
+    for zz in blocks:
+        t = [int(v) >> 1 if v >= 0 else -((-int(v)) >> 1) for v in zz]
+        kend = max(
+            [k for k in range(ss, se + 1) if t[k] == 0 and zz[k] != 0],
+            default=ss - 1,
+        )
+        run = 0
+        pend = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15 and k <= kend:
+                eobrun, corr = _flush_eobrun(wtr, enc, eobrun, corr)
+                length, code = enc[0xF0]
+                wtr.write(code, length)
+                run -= 16
+                for bit in pend:
+                    wtr.write(bit, 1)
+                pend = []
+            if t[k] != 0:  # history nonzero: one correction bit
+                pend.append(abs(v) & 1)
+                continue
+            # newly significant (|v| == 1)
+            eobrun, corr = _flush_eobrun(wtr, enc, eobrun, corr)
+            length, code = enc[(run << 4) | 1]
+            wtr.write(code, length)
+            wtr.write(1 if v > 0 else 0, 1)
+            for bit in pend:
+                wtr.write(bit, 1)
+            pend = []
+            run = 0
+        if run > 0 or pend:
+            eobrun += 1
+            corr += pend
+            if eobrun == 0x7FFF:
+                eobrun, corr = _flush_eobrun(wtr, enc, eobrun, corr)
+    _flush_eobrun(wtr, enc, eobrun, corr)
+
+
+def _encode_progressive(w, h, blocks_per_comp, nc, qtabs, bands=((1, 5), (6, 63))):
+    """Hand-rolled SOF2 stream with ARBITRARY final coefficient blocks:
+    interleaved DC first (Al=1) + DC refinement, then per-component AC
+    band scans (first at Al=1, refinement to Al=0) — every progressive
+    decode path (EOBn, ZRL-with-correction-bits, newly-significant
+    placement, band splits) in one stream."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    inv = np.zeros(64, dtype=np.uint8)
+    inv[J.ZIGZAG] = np.arange(64)
+    for tq, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([tq]) + np.asarray(q, np.uint8)[inv].tobytes())
+    comps = b"".join(bytes([c + 1, 0x11, min(c, len(qtabs) - 1)]) for c in range(nc))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    for tc_th, bits, vals in (
+        (0x00, J._DC_BITS, J._DC_VALS),
+        (0x10, J._ACP_BITS, J._ACP_VALS),
+    ):
+        out += seg(0xC4, bytes([tc_th] + bits + vals))
+    nblocks = (w // 8) * (h // 8)
+
+    sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+    out += seg(0xDA, sos + bytes([0, 0, 0x01]))  # DC first, Al=1
+    wtr = J._BitWriter()
+    pred = [0] * nc
+    for bi in range(nblocks):
+        for c in range(nc):
+            v = int(blocks_per_comp[c][bi][0])
+            t = v >> 1  # DC point transform is ARITHMETIC shift (G.1.2.1)
+            diff = t - pred[c]
+            pred[c] = t
+            J._emit_coeff(wtr, J._DC_ENC, J._category(diff), diff)
+    wtr.flush()
+    out += wtr.out
+    out += seg(0xDA, sos + bytes([0, 0, 0x10]))  # DC refine: one raw bit
+    wtr = J._BitWriter()
+    for bi in range(nblocks):
+        for c in range(nc):
+            wtr.write(abs(int(blocks_per_comp[c][bi][0])) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+    for c in range(nc):
+        for ss, se in bands:
+            out += seg(0xDA, bytes([1, c + 1, 0x10, ss, se, 0x01]))
+            wtr = J._BitWriter()
+            _ac_first_scan(wtr, J._ACP_ENC, blocks_per_comp[c], ss, se, 1)
+            wtr.flush()
+            out += wtr.out
+        for ss, se in bands:
+            out += seg(0xDA, bytes([1, c + 1, 0x10, ss, se, 0x10]))
+            wtr = J._BitWriter()
+            _ac_refine_scan(wtr, J._ACP_ENC, blocks_per_comp[c], ss, se)
+            wtr.flush()
+            out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_constant_fill_matches_baseline():
+    """synth_progressive_jpeg decodes to EXACTLY the baseline synth_jpeg
+    output (same quant tables; DC exact after the refinement scan, AC all
+    zero via the EOBn path) — the property the gate oracle states."""
+    rng = np.random.RandomState(23)
+    for _ in range(40):
+        w, h = 8 * int(rng.randint(1, 7)), 8 * int(rng.randint(1, 7))
+        fill = tuple(int(x) for x in rng.randint(0, 256, 3))
+        a = J.decode_jpeg(J.synth_jpeg(w, h, fill))
+        b = J.decode_jpeg(J.synth_progressive_jpeg(w, h, fill))
+        assert a is not None and b is not None and (a == b).all(), (w, h, fill)
+
+
+def test_progressive_general_against_idct_reference():
+    """Arbitrary coefficient blocks through the full five-plus-scan
+    progressive pipeline (spectral bands + successive approximation)
+    reconstruct exactly what the direct IDCT reference computes."""
+    rng = np.random.RandomState(11)
+    for trial in range(30):
+        w, h = 8 * int(rng.randint(1, 4)), 8 * int(rng.randint(1, 4))
+        nc = int(rng.choice([1, 3]))
+        qtabs = [np.full(64, 16), np.full(64, 24)][: max(1, nc - 1)]
+        blocks = []
+        for _c in range(nc):
+            bs = []
+            for _ in range((w // 8) * (h // 8)):
+                zz = np.zeros(64, np.int64)
+                for _ in range(int(rng.randint(0, 10))):
+                    zz[int(rng.randint(0, 64))] = int(rng.randint(-40, 41))
+                # |v|==1 coefficients exercise newly-significant refinement
+                for _ in range(int(rng.randint(0, 6))):
+                    zz[int(rng.randint(1, 64))] = int(rng.choice([-1, 1]))
+                bs.append(zz)
+            blocks.append(bs)
+        got = J.decode_jpeg(_encode_progressive(w, h, blocks, nc, qtabs))
+        want = _reference_decode(blocks, w, h, nc, qtabs)
+        assert got is not None and (got == want).all(), trial
+
+
+def test_progressive_malformed_returns_none():
+    good = J.synth_progressive_jpeg(16, 16, (44, 120, 210))
+    full = J.decode_jpeg(good)
+    assert full is not None
+    # Truncation must never raise. A cut mid-scan yields None; a cut at a
+    # scan boundary yields the partial image accumulated so far — that IS
+    # progressive JPEG's contract (render what has arrived). Cuts before
+    # the first complete scan are always None.
+    first_scan_end = good.index(b"\xff\xda", 4)  # second SOS marker
+    for cut in range(2, len(good), 13):
+        got = J.decode_jpeg(good[:cut])
+        if cut <= first_scan_end:
+            assert got is None, cut
+        else:
+            assert got is None or got.shape == full.shape, cut
+    # nonzero restart interval is honestly unsupported
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    assert J.decode_jpeg(dri) is None
+    # arithmetic-coded progressive (SOF10) is honestly unsupported
+    assert J.decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xca", 1)) is None
