@@ -14,9 +14,13 @@ float IDCT, and JFIF YCbCr -> RGB. Progressive (SOF2) is decoded too —
 spectral selection and successive approximation per spec G.2 (DC
 first/refine, AC first with EOB runs, AC refinement with correction
 bits), accumulating coefficients across scans and IDCTing once at EOI
-(see `_Progressive`). Sampling factors beyond 2, 16-bit quant tables,
-arithmetic coding (SOF9/SOF10), hierarchical, lossless, and restart
-intervals return None (honest unsupported, not a guess).
+(see `_Progressive`). Restart intervals (DRI/RSTm) are handled in both
+paths: byte-align at each boundary, verify the cycling marker index,
+reset DC predictors (and any progressive EOB run). SOF1 (extended
+sequential — same Huffman path at 8-bit precision) and 16-bit DQT
+entries (Pq=1) decode too. Sampling factors beyond 2, arithmetic coding
+(SOF9/SOF10), hierarchical, and lossless return None (honest
+unsupported, not a guess).
 
 The writer emits correct baseline JPEGs with valid-by-construction
 canonical Huffman tables (all DC categories at 4 bits, all AC symbols at
@@ -120,7 +124,8 @@ class _BitReader:
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
-                else:  # a real marker inside the scan (restart unsupported)
+                else:  # a real marker mid-entropy-segment (restart markers
+                    # are consumed explicitly via restart(), never here)
                     raise ValueError("marker")
             self.acc = b
             self.nbits = 8
@@ -142,6 +147,20 @@ class _BitReader:
                 return sym
         raise ValueError("bad huffman code")
 
+    def restart(self) -> int:
+        """Byte-align (discard pad bits) and consume a restart marker
+        RSTm; returns m in 0..7. Raises if the marker is absent. An
+        all-ones pad byte is written stuffed (FF 00) — skip such pairs
+        during alignment."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 2 <= len(d) and d[p] == 0xFF and d[p + 1] == 0x00:
+            p += 2
+        if p + 2 > len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos = p + 2
+        return d[p + 1] - 0xD0
+
 
 def _extend(v: int, size: int) -> int:
     """JPEG EXTEND: map `size`-bit magnitude to signed value."""
@@ -155,11 +174,11 @@ def _extend(v: int, size: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
-    """Baseline (SOF0) or progressive (SOF2) JPEG -> HxWx3 uint8 RGB
-    (grayscale replicated to 3 channels; subsampled chroma upsampled by
-    replication). None for malformed input or honest-unsupported variants
-    (sampling factors beyond 2x2, 16-bit quant, arithmetic coding,
-    restart intervals)."""
+    """Baseline (SOF0/SOF1) or progressive (SOF2) JPEG -> HxWx3 uint8
+    RGB (grayscale replicated to 3 channels; subsampled chroma upsampled
+    by replication; restart intervals and 16-bit quant tables honored).
+    None for malformed input or honest-unsupported variants (sampling
+    factors beyond 2x2, arithmetic coding, hierarchical, lossless)."""
     try:
         if data[:2] != b"\xff\xd8":
             return None
@@ -167,6 +186,7 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
         sof = None
+        dri = 0
         prog: Optional[_Progressive] = None
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
@@ -177,14 +197,22 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                 continue
             (seglen,) = struct.unpack_from(">H", data, pos)
             seg = data[pos + 2 : pos + seglen]
-            if marker == 0xDB:  # DQT
+            if marker == 0xDB:  # DQT (Pq=0: 8-bit entries, Pq=1: 16-bit)
                 i = 0
                 while i < len(seg):
                     pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                    if pq != 0:
-                        return None  # 16-bit tables unsupported
-                    qt[tq] = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.int64)
-                    i += 65
+                    if pq == 0:
+                        qt[tq] = np.frombuffer(seg, np.uint8, 64, i + 1).astype(
+                            np.int64
+                        )
+                        i += 65
+                    elif pq == 1:
+                        qt[tq] = np.frombuffer(
+                            seg, np.dtype(">u2"), 64, i + 1
+                        ).astype(np.int64)
+                        i += 129
+                    else:
+                        return None
             elif marker == 0xC4:  # DHT
                 i = 0
                 while i < len(seg):
@@ -194,7 +222,9 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                     vals = list(seg[i + 17 : i + 17 + n])
                     huff[(tc, th)] = _canonical_codes(bits, vals)
                     i += 17 + n
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
+                # sequential — identical Huffman decode path at 8-bit
+                # precision (SOF1 only widens the allowed table count)
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nc not in (1, 3):
                     return None
@@ -219,17 +249,16 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                     comps.append((cid, tq, hi, vi))
                 sof = (w, h, comps)
                 prog = _Progressive(w, h, comps)
-            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-                return None  # non-baseline/non-progressive frame types
-            elif marker == 0xDD:  # DRI
-                if struct.unpack_from(">H", seg, 0)[0] != 0:
-                    return None  # restart intervals unsupported (honest)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # lossless/differential/arithmetic frame types
+            elif marker == 0xDD:  # DRI: restart every `dri` MCUs
+                dri = struct.unpack_from(">H", seg, 0)[0]
             elif marker == 0xDA:  # SOS
                 if sof is None:
                     return None
                 w, h, comps = sof
                 if prog is not None:
-                    pos = prog.decode_scan(data, pos, seg, huff)
+                    pos = prog.decode_scan(data, pos, seg, huff, dri)
                     if pos is None:
                         return None
                     continue
@@ -244,7 +273,7 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                     if dc_t is None or ac_t is None or q is None:
                         return None
                     tables.append((dc_t, ac_t, q, comps[c][2], comps[c][3]))
-                return _decode_scan(data, pos + seglen, w, h, tables)
+                return _decode_scan(data, pos + seglen, w, h, tables, dri)
             elif marker == 0xD9:
                 if prog is not None:
                     return prog.finish(qt)
@@ -257,7 +286,7 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
         return None
 
 
-def _decode_scan(data, pos, w, h, tables) -> Optional[np.ndarray]:
+def _decode_scan(data, pos, w, h, tables, dri=0) -> Optional[np.ndarray]:
     nc = len(tables)
     hmax = max(t[3] for t in tables)
     vmax = max(t[4] for t in tables)
@@ -270,8 +299,16 @@ def _decode_scan(data, pos, w, h, tables) -> Optional[np.ndarray]:
     ]
     r = _BitReader(data, pos)
     pred = [0] * nc
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and mcu_i and mcu_i % dri == 0:
+                # RSTm every `dri` MCUs: byte-align, check the cycling
+                # marker index, reset DC predictors (spec E.1.4 / F.2.2.5)
+                if r.restart() != ((mcu_i // dri - 1) & 7):
+                    return None
+                pred = [0] * nc
+            mcu_i += 1
             for c, (dc_t, ac_t, q, hi, vi) in enumerate(tables):
                 # interleaved MCU order: vi x hi blocks per component,
                 # left-to-right then top-to-bottom (JPEG spec A.2.3)
@@ -353,7 +390,7 @@ class _Progressive:
         ]
         self.any_scan = False
 
-    def decode_scan(self, data: bytes, pos: int, seg: bytes, huff):
+    def decode_scan(self, data: bytes, pos: int, seg: bytes, huff, dri: int = 0):
         """Decode ONE scan starting at the SOS segment `seg` (payload
         after the length); returns the offset of the next marker's 0xFF,
         or None on malformed/unsupported input."""
@@ -374,40 +411,50 @@ class _Progressive:
         if ss == 0:
             if se != 0:
                 return None
-            self._dc_scan(r, sel, ah, al)
+            self._dc_scan(r, sel, ah, al, dri)
         else:
             if ns != 1 or se > 63 or ss > se:
                 return None
-            self._ac_scan(r, sel[0], ss, se, ah, al)
+            self._ac_scan(r, sel[0], ss, se, ah, al, dri)
         # advance to the next marker (skip pad bits / stuffed bytes)
         p = r.pos
         n = len(data)
         while p + 1 < n:
             if data[p] == 0xFF and data[p + 1] != 0x00:
                 if 0xD0 <= data[p + 1] <= 0xD7:
-                    return None  # restart marker: DRI unsupported
+                    return None  # stray restart outside the interval grid
                 return p
             p += 1
         return None  # scan ran to EOF without a closing marker
 
     # -- DC ---------------------------------------------------------------
 
-    def _dc_scan(self, r, sel, ah, al):
+    def _dc_scan(self, r, sel, ah, al, dri=0):
         pred = [0] * len(sel)
         if len(sel) == 1:
             # non-interleaved single-component scan: raster over its grid
+            # (the scan's MCU is a single block, so DRI counts blocks)
             ci, dc_t, _ac_t = sel[0]
             _cid, _tq, hi, vi = self.comps[ci]
             bw = (-(-self.w * hi // self.hmax) + 7) // 8
             bh = (-(-self.h * vi // self.vmax) + 7) // 8
-            for by in range(bh):
-                for bx in range(bw):
-                    self._dc_block(
-                        r, dc_t, self.coef[ci], by, bx, ah, al, pred, 0
-                    )
+            for i in range(bh * bw):
+                if dri and i and i % dri == 0:
+                    if r.restart() != ((i // dri - 1) & 7):
+                        raise ValueError("restart marker out of sequence")
+                    pred = [0] * len(sel)
+                self._dc_block(
+                    r, dc_t, self.coef[ci], i // bw, i % bw, ah, al, pred, 0
+                )
             return
+        mcu_i = 0
         for my in range(self.mcuy):  # interleaved: MCU order (spec A.2.3)
             for mx in range(self.mcux):
+                if dri and mcu_i and mcu_i % dri == 0:
+                    if r.restart() != ((mcu_i // dri - 1) & 7):
+                        raise ValueError("restart marker out of sequence")
+                    pred = [0] * len(sel)
+                mcu_i += 1
                 for si, (ci, dc_t, _ac_t) in enumerate(sel):
                     _cid, _tq, hi, vi = self.comps[ci]
                     for byi in range(vi):
@@ -431,7 +478,7 @@ class _Progressive:
 
     # -- AC ---------------------------------------------------------------
 
-    def _ac_scan(self, r, one, ss, se, ah, al):
+    def _ac_scan(self, r, one, ss, se, ah, al, dri=0):
         ci, _dc_t, ac_t = one
         if ac_t is None:
             raise ValueError("missing AC table")
@@ -439,13 +486,17 @@ class _Progressive:
         bw = (-(-self.w * hi // self.hmax) + 7) // 8
         bh = (-(-self.h * vi // self.vmax) + 7) // 8
         eobrun = 0
-        for by in range(bh):
-            for bx in range(bw):
-                blk = self.coef[ci][by, bx]
-                if ah == 0:
-                    eobrun = self._ac_first(r, ac_t, blk, ss, se, al, eobrun)
-                else:
-                    eobrun = self._ac_refine(r, ac_t, blk, ss, se, al, eobrun)
+        for i in range(bh * bw):
+            if dri and i and i % dri == 0:
+                # a restart also terminates any outstanding EOB run
+                if r.restart() != ((i // dri - 1) & 7):
+                    raise ValueError("restart marker out of sequence")
+                eobrun = 0
+            blk = self.coef[ci][i // bw, i % bw]
+            if ah == 0:
+                eobrun = self._ac_first(r, ac_t, blk, ss, se, al, eobrun)
+            else:
+                eobrun = self._ac_refine(r, ac_t, blk, ss, se, al, eobrun)
 
     @staticmethod
     def _ac_first(r, ac_t, blk, ss, se, al, eobrun):
@@ -594,10 +645,18 @@ def _emit_coeff(wtr: _BitWriter, enc, run_size: int, v: int):
         wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
 
 
-def synth_jpeg(width: int, height: int, fill_rgb: tuple[int, int, int]) -> bytes:
+def synth_jpeg(
+    width: int,
+    height: int,
+    fill_rgb: tuple[int, int, int],
+    restart_interval: int = 0,
+) -> bytes:
     """A correct baseline 4:4:4 JPEG: constant fill, dimensions multiples
     of 8 (asserted — keeps every block constant so the decode has the
-    closed form in the module docstring). Deterministic bytes."""
+    closed form in the module docstring). restart_interval > 0 emits a
+    DRI segment and cycling RSTm markers every that-many MCUs (with the
+    per-interval DC predictor reset the decoder must mirror).
+    Deterministic bytes."""
     assert width % 8 == 0 and height % 8 == 0 and width and height
     r, g, b = (float(c) for c in fill_rgb)
     y = float(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
@@ -631,16 +690,22 @@ def synth_jpeg(width: int, height: int, fill_rgb: tuple[int, int, int]) -> bytes
         (0x11, _AC_BITS, _AC_VALS),
     ):
         out += seg(0xC4, bytes([tc_th] + bits + vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     wtr = _BitWriter()
     pred = [0, 0, 0]
-    for _my in range(height // 8):
-        for _mx in range(width // 8):
-            for c in range(3):
-                diff = dcs[c] - pred[c]
-                pred[c] = dcs[c]
-                _emit_coeff(wtr, _DC_ENC, _category(diff), diff)
-                _emit_coeff(wtr, _AC_ENC, 0x00, 0)  # EOB: constant block
+    nmcu = (height // 8) * (width // 8)
+    for mcu_i in range(nmcu):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            wtr.flush()  # 1-pad to a byte boundary, then the raw marker
+            wtr.out += bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1) & 7)])
+            pred = [0, 0, 0]
+        for c in range(3):
+            diff = dcs[c] - pred[c]
+            pred[c] = dcs[c]
+            _emit_coeff(wtr, _DC_ENC, _category(diff), diff)
+            _emit_coeff(wtr, _AC_ENC, 0x00, 0)  # EOB: constant block
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"

@@ -29,10 +29,12 @@ def test_constant_fill_matches_closed_form():
         assert all(abs(a - b) <= 8 for a, b in zip(want, fill))
 
 
-def _encode_blocks(w, h, blocks_per_comp, nc, qtabs):
+def _encode_blocks(w, h, blocks_per_comp, nc, qtabs, sof_marker=0xC0, qt16=False):
     """Hand-rolled baseline JPEG with ARBITRARY quantized coefficient
     blocks (zigzag order) — exercises AC run/size, ZRL, negatives, and
-    the grayscale frame type, none of which synth_jpeg emits."""
+    the grayscale frame type, none of which synth_jpeg emits. sof_marker
+    0xC1 emits extended sequential; qt16 writes Pq=1 16-bit DQT
+    entries."""
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -41,9 +43,13 @@ def _encode_blocks(w, h, blocks_per_comp, nc, qtabs):
     inv = np.zeros(64, dtype=np.uint8)
     inv[J.ZIGZAG] = np.arange(64)
     for tq, q in enumerate(qtabs):
-        out += seg(0xDB, bytes([tq]) + np.asarray(q, np.uint8)[inv].tobytes())
+        if qt16:
+            body = np.asarray(q, ">u2")[inv].tobytes()
+            out += seg(0xDB, bytes([0x10 | tq]) + body)
+        else:
+            out += seg(0xDB, bytes([tq]) + np.asarray(q, np.uint8)[inv].tobytes())
     comps = b"".join(bytes([c + 1, 0x11, min(c, len(qtabs) - 1)]) for c in range(nc))
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    out += seg(sof_marker, struct.pack(">BHHB", 8, h, w, nc) + comps)
     for tc_th, bits, vals in ((0x00, J._DC_BITS, J._DC_VALS), (0x10, J._AC_BITS, J._AC_VALS)):
         out += seg(0xC4, bytes([tc_th] + bits + vals))
     sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + bytes([0, 63, 0])
@@ -208,11 +214,21 @@ def _flush_eobrun(wtr, enc, eobrun, corr):
     return 0, []
 
 
-def _ac_first_scan(wtr, enc, blocks, ss, se, al):
+def _rst(wtr, idx):
+    wtr.flush()
+    wtr.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+
+def _ac_first_scan(wtr, enc, blocks, ss, se, al, dri=0):
     """AC first scan: encode the point transform v >> al (toward zero),
-    with run/size symbols, ZRL, and EOBn runs across all-zero bands."""
+    with run/size symbols, ZRL, and EOBn runs across all-zero bands.
+    dri > 0 inserts restart markers every dri blocks (flushing any
+    pending EOB run first — a restart terminates it)."""
     eobrun = 0
-    for zz in blocks:
+    for i, zz in enumerate(blocks):
+        if dri and i and i % dri == 0:
+            eobrun, _ = _flush_eobrun(wtr, enc, eobrun, [])
+            _rst(wtr, i // dri - 1)
         t = [int(v) >> al if v >= 0 else -((-int(v)) >> al) for v in zz]
         nz = [k for k in range(ss, se + 1) if t[k] != 0]
         if not nz:
@@ -239,14 +255,17 @@ def _ac_first_scan(wtr, enc, blocks, ss, se, al):
     _flush_eobrun(wtr, enc, eobrun, [])
 
 
-def _ac_refine_scan(wtr, enc, blocks, ss, se):
+def _ac_refine_scan(wtr, enc, blocks, ss, se, dri=0):
     """AC refinement Ah=1 -> Al=0, following libjpeg's
     encode_mcu_AC_refine exactly: the ZRL check runs at EVERY nonzero
     coefficient so correction bits stay segmented per emitted symbol;
     trailing runs and correction bits ride with the EOB run."""
     eobrun = 0
     corr = []
-    for zz in blocks:
+    for i, zz in enumerate(blocks):
+        if dri and i and i % dri == 0:
+            eobrun, corr = _flush_eobrun(wtr, enc, eobrun, corr)
+            _rst(wtr, i // dri - 1)
         t = [int(v) >> 1 if v >= 0 else -((-int(v)) >> 1) for v in zz]
         kend = max(
             [k for k in range(ss, se + 1) if t[k] == 0 and zz[k] != 0],
@@ -287,7 +306,9 @@ def _ac_refine_scan(wtr, enc, blocks, ss, se):
     _flush_eobrun(wtr, enc, eobrun, corr)
 
 
-def _encode_progressive(w, h, blocks_per_comp, nc, qtabs, bands=((1, 5), (6, 63))):
+def _encode_progressive(
+    w, h, blocks_per_comp, nc, qtabs, bands=((1, 5), (6, 63)), dri=0
+):
     """Hand-rolled SOF2 stream with ARBITRARY final coefficient blocks:
     interleaved DC first (Al=1) + DC refinement, then per-component AC
     band scans (first at Al=1, refinement to Al=0) — every progressive
@@ -310,12 +331,17 @@ def _encode_progressive(w, h, blocks_per_comp, nc, qtabs, bands=((1, 5), (6, 63)
     ):
         out += seg(0xC4, bytes([tc_th] + bits + vals))
     nblocks = (w // 8) * (h // 8)
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
 
     sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
     out += seg(0xDA, sos + bytes([0, 0, 0x01]))  # DC first, Al=1
     wtr = J._BitWriter()
     pred = [0] * nc
     for bi in range(nblocks):
+        if dri and bi and bi % dri == 0:
+            _rst(wtr, bi // dri - 1)
+            pred = [0] * nc
         for c in range(nc):
             v = int(blocks_per_comp[c][bi][0])
             t = v >> 1  # DC point transform is ARITHMETIC shift (G.1.2.1)
@@ -327,6 +353,8 @@ def _encode_progressive(w, h, blocks_per_comp, nc, qtabs, bands=((1, 5), (6, 63)
     out += seg(0xDA, sos + bytes([0, 0, 0x10]))  # DC refine: one raw bit
     wtr = J._BitWriter()
     for bi in range(nblocks):
+        if dri and bi and bi % dri == 0:
+            _rst(wtr, bi // dri - 1)
         for c in range(nc):
             wtr.write(abs(int(blocks_per_comp[c][bi][0])) & 1, 1)
     wtr.flush()
@@ -335,13 +363,13 @@ def _encode_progressive(w, h, blocks_per_comp, nc, qtabs, bands=((1, 5), (6, 63)
         for ss, se in bands:
             out += seg(0xDA, bytes([1, c + 1, 0x10, ss, se, 0x01]))
             wtr = J._BitWriter()
-            _ac_first_scan(wtr, J._ACP_ENC, blocks_per_comp[c], ss, se, 1)
+            _ac_first_scan(wtr, J._ACP_ENC, blocks_per_comp[c], ss, se, 1, dri)
             wtr.flush()
             out += wtr.out
         for ss, se in bands:
             out += seg(0xDA, bytes([1, c + 1, 0x10, ss, se, 0x10]))
             wtr = J._BitWriter()
-            _ac_refine_scan(wtr, J._ACP_ENC, blocks_per_comp[c], ss, se)
+            _ac_refine_scan(wtr, J._ACP_ENC, blocks_per_comp[c], ss, se, dri)
             wtr.flush()
             out += wtr.out
     out += b"\xff\xd9"
@@ -402,8 +430,82 @@ def test_progressive_malformed_returns_none():
             assert got is None, cut
         else:
             assert got is None or got.shape == full.shape, cut
-    # nonzero restart interval is honestly unsupported
-    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    # a declared restart interval with NO restart markers in the scan
+    # data is malformed (the decoder expects RSTm at each boundary)
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x02" + good[2:]
     assert J.decode_jpeg(dri) is None
     # arithmetic-coded progressive (SOF10) is honestly unsupported
     assert J.decode_jpeg(good.replace(b"\xff\xc2", b"\xff\xca", 1)) is None
+
+
+def test_restart_interval_baseline():
+    """DRI/RSTm in baseline scans: byte-align at each boundary, cycling
+    marker index, DC predictor reset — decode equals the no-restart
+    stream; a wrong marker index is malformed."""
+    plain = J.decode_jpeg(J.synth_jpeg(32, 24, (200, 40, 90)))
+    for interval in (1, 2, 5, 7, 11, 12):
+        data = J.synth_jpeg(32, 24, (200, 40, 90), restart_interval=interval)
+        got = J.decode_jpeg(data)
+        assert got is not None and (got == plain).all(), interval
+    # corrupt the first restart marker's index -> out-of-sequence -> None
+    data = bytearray(J.synth_jpeg(32, 24, (200, 40, 90), restart_interval=2))
+    at = data.find(b"\xff\xd0", 2)
+    assert at > 0
+    data[at + 1] = 0xD5
+    assert J.decode_jpeg(bytes(data)) is None
+
+
+def test_restart_interval_progressive():
+    """Restarts inside EVERY progressive scan type (DC first/refine, AC
+    first, AC refine): predictor and EOB-run reset at each boundary, and
+    the reconstruction still matches the direct IDCT reference."""
+    rng = np.random.RandomState(31)
+    for trial, dri in enumerate((1, 3, 5)):
+        w, h = 24, 16
+        nc = 3
+        qtabs = [np.full(64, 16), np.full(64, 24)]
+        blocks = []
+        for _c in range(nc):
+            bs = []
+            for _ in range((w // 8) * (h // 8)):
+                zz = np.zeros(64, np.int64)
+                for _ in range(int(rng.randint(2, 10))):
+                    zz[int(rng.randint(0, 64))] = int(rng.randint(-40, 41))
+                for _ in range(int(rng.randint(0, 6))):
+                    zz[int(rng.randint(1, 64))] = int(rng.choice([-1, 1]))
+                bs.append(zz)
+            blocks.append(bs)
+        data = _encode_progressive(w, h, blocks, nc, qtabs, dri=dri)
+        got = J.decode_jpeg(data)
+        want = _reference_decode(blocks, w, h, nc, qtabs)
+        assert got is not None and (got == want).all(), (trial, dri)
+
+
+def test_sof1_and_16bit_quant_tables():
+    """Extended sequential (SOF1) decodes through the same Huffman path,
+    and Pq=1 DQT entries (values above 255) dequantize correctly."""
+    rng = np.random.RandomState(41)
+    qtabs = [np.full(64, 300), np.full(64, 420)]  # need 16-bit entries
+    for trial in range(6):
+        w, h = 8 * int(rng.randint(1, 4)), 8 * int(rng.randint(1, 4))
+        nc = int(rng.choice([1, 3]))
+        qt = qtabs[: max(1, nc - 1)]
+        blocks = []
+        for _c in range(nc):
+            bs = []
+            for _ in range((w // 8) * (h // 8)):
+                zz = np.zeros(64, np.int64)
+                for _ in range(int(rng.randint(0, 6))):
+                    zz[int(rng.randint(0, 64))] = int(rng.randint(-3, 4))
+                bs.append(zz)
+            blocks.append(bs)
+        data = _encode_blocks(w, h, blocks, nc, qt, sof_marker=0xC1, qt16=True)
+        got = J.decode_jpeg(data)
+        want = _reference_decode(blocks, w, h, nc, qt)
+        assert got is not None and (got == want).all(), trial
+    # Pq beyond 1 is still rejected
+    bad = bytearray(_encode_blocks(8, 8, [[np.zeros(64, np.int64)]], 1,
+                                   [np.full(64, 16)]))
+    at = bad.find(b"\xff\xdb") + 4
+    bad[at] = 0x20  # Pq=2
+    assert J.decode_jpeg(bytes(bad)) is None
