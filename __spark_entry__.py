@@ -164,6 +164,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(DD.plant_dups(_docs(spark, sf_dir)))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> duplicate clusters: transitive closure of the LSH near-dup
+    pairs via alternating large-star/small-star connected components
+    (O(log n) rounds). rep_doc_id = component min = canonical survivor;
+    the oracle mirrors it with a DuckDB recursive CTE over the same
+    pair set."""
+    pairs = DD.minhash_lsh_pairs(DD.plant_dups(_docs(spark, sf_dir)))
+    return DD.connected_components(pairs)
+
+
 def q_dedup_chunks(spark, sf_dir):
     """C4/RefinedWeb-style sub-document dedup: 5-word-aligned chunks,
     global first-occurrence survives, documents reassembled from surviving
@@ -573,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_chunks": q_dedup_chunks,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
@@ -754,6 +765,39 @@ def oracle_sql() -> dict[str, str]:
     k, r = DD.MINHASH_K, DD.LSH_ROWS_PER_BAND
     thr = DD.JACCARD_THRESHOLD_PERMILLE
     wh = _WORD_HASH_D.format(w="w")
+    # shared CTE chain ending in `lsh_pairs` — used verbatim by both the
+    # pair query (dedup_minhash_lsh) and the cluster query (dedup_clusters)
+    lsh_ctes = f"""{_JACCARD_CTES.strip().lstrip(',').strip()},
+            mhw AS (
+              SELECT doc_id, {_minhash_select_d(k)}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {_bands_union_d(k, r)}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            -- candidate-restricted GLOBAL verification (no source blocking:
+            -- LSH finds genuine cross-source dups the blocked join misses)
+            vinter AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            lsh_pairs AS (
+              SELECT v.doc_a, v.doc_b, v.inter,
+                     sa.sz + sb.sz - v.inter AS union_sz,
+                     (1000 * v.inter) // (sa.sz + sb.sz - v.inter) AS jacc_permille
+              FROM vinter v
+              JOIN sizes sa ON sa.doc_id = v.doc_a
+              JOIN sizes sb ON sb.doc_id = v.doc_b
+              WHERE (1000 * v.inter) // (sa.sz + sb.sz - v.inter) >= {thr}
+            )"""
     return {
         "extract_flagship": _RECON
         + "SELECT doc_id, status, kind, text, media_ref, span_order FROM recon",
@@ -824,35 +868,32 @@ def oracle_sql() -> dict[str, str]:
             FROM jpairs WHERE jacc_permille >= {thr}
         """,
         "dedup_minhash_lsh": f"""
-            WITH {_JACCARD_CTES.strip().lstrip(',').strip()},
-            mhw AS (
-              SELECT doc_id, {_minhash_select_d(k)}
-              FROM sh GROUP BY doc_id
+            WITH {lsh_ctes}
+            SELECT doc_a, doc_b, inter, union_sz, jacc_permille FROM lsh_pairs
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {lsh_ctes},
+            e AS (
+              SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM lsh_pairs
             ),
-            bands AS (
-              {_bands_union_d(k, r)}
+            n AS (SELECT DISTINCT u AS node FROM e),
+            reach(node, label) AS (
+              SELECT node, node FROM n
+              UNION
+              SELECT e.v, r.label FROM reach r JOIN e ON e.u = r.node
             ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            lab AS (
+              SELECT node AS doc_id, MIN(label) AS rep_doc_id
+              FROM reach GROUP BY node
             ),
-            -- candidate-restricted GLOBAL verification (no source blocking:
-            -- LSH finds genuine cross-source dups the blocked join misses)
-            vinter AS (
-              SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
-              GROUP BY c.doc_a, c.doc_b
+            sz AS (
+              SELECT rep_doc_id, COUNT(*) AS cluster_size
+              FROM lab GROUP BY rep_doc_id
             )
-            SELECT v.doc_a, v.doc_b, v.inter,
-                   sa.sz + sb.sz - v.inter AS union_sz,
-                   (1000 * v.inter) // (sa.sz + sb.sz - v.inter) AS jacc_permille
-            FROM vinter v
-            JOIN sizes sa ON sa.doc_id = v.doc_a
-            JOIN sizes sb ON sb.doc_id = v.doc_b
-            WHERE (1000 * v.inter) // (sa.sz + sb.sz - v.inter) >= {thr}
+            SELECT l.doc_id, l.rep_doc_id, s.cluster_size
+            FROM lab l JOIN sz s USING (rep_doc_id)
         """,
         "dedup_simhash": f"""
             WITH wd AS (

@@ -566,3 +566,129 @@ def embedding_dups(corpus: DataFrame, min_cos: float = 0.999) -> DataFrame:
         )
         .where(F.col("cos") >= min_cos)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: pairs -> connected components
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 40
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14): for every node u, connect each STRICTLY LARGER
+    neighbor to the minimum of u's closed neighborhood. One groupBy + one
+    equi-join, both keyed on u — the join reuses the aggregation's hash
+    partitioning, so the step costs one shuffle of the (symmetrized) edge
+    set plus a co-partitioned join. High-degree hubs are the case this
+    step exists for: all their neighbors re-attach directly to the
+    neighborhood min, halving tree heights without ever collecting a
+    neighbor list on one task."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient every edge large->small, then connect each
+    smaller neighbor (and u itself) to the minimum smaller neighbor. Same
+    two-shuffle shape as _large_star."""
+    dird = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = dird.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        dird.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution — the transitive-closure step between
+    "near-dup pairs" and "drop list". Near-dup detection emits pairs
+    (A~B, B~C); keeping one survivor per group needs the connected
+    component {A,B,C}. Output: (doc_id, rep_doc_id, cluster_size) for
+    every node that appears in at least one pair, where rep_doc_id is the
+    component-wide MIN doc_id (the canonical survivor) — so the drop list
+    is simply `doc_id != rep_doc_id`.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    SoCC'14) — the shape that survives 10^12 edges. Each round is two
+    star ops (each one groupBy + one co-partitioned join over the edge
+    set); the edge count never exceeds the input's symmetrized size, and
+    the round count is O(log n) REGARDLESS of component diameter (plain
+    min-label propagation is O(diameter) — a 10^6-doc boilerplate chain
+    would need 10^6 rounds; this needs ~20). Hub skew is handled by
+    construction: large-star re-attaches a hub's neighbors directly to
+    the min, never collecting a neighbor list.
+
+    Driver loop mechanics (all bounded control-plane work): each round
+    localCheckpoints the new edge set — MANDATORY, not an optimization:
+    one star round references its input ~4 times (union+swap, join back),
+    so without truncation the logical plan grows ~16x per round and
+    Catalyst analysis OOMs by round 4 (observed). Checkpointing resets
+    the plan to a scan, keeping analysis O(1) per round. (On a real
+    cluster, set a reliable `spark.sparkContext.setCheckpointDir` and
+    swap to `checkpoint()` if executor loss must be survivable
+    mid-computation.) Convergence = the (count, bit_xor(xxhash64))
+    signature repeating — exact on count, collision-free on the checksum
+    to ~2^-64 per round (xor is safe: the edge set is distinct so no pair
+    self-cancels, and unlike sum it cannot overflow under ANSI
+    arithmetic).
+
+    No reference analogue (the reference dedups nothing); public
+    algorithm, built from scratch on the DataFrame API."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cnt, chk = edges.agg(
+            F.count("*").alias("c"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).first()
+        if (cnt, chk) == sig:
+            break
+        sig = (cnt, chk)
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    # converged star forest: every edge is (member u -> component-min v)
+    members = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("rep_doc_id")
+    )
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("rep_doc_id", F.col("doc_id"))
+    )
+    labels = members.union(roots)
+    sizes = labels.groupBy("rep_doc_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "rep_doc_id").select(
+        "doc_id", "rep_doc_id", "cluster_size"
+    )
