@@ -259,6 +259,23 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Token-budget corpus mixing (data recipes): weight w_s = 1 + src# % 4,
+    budget = the corpus's own total token count, so at any sf some sources
+    down-sample (rate < 1) and some up-sample (epoch repeats, rate > 1).
+    Weights/budget come from two bounded control-plane actions (a distinct
+    over ~20 sources, a 1-row sum); the oracle recomputes both in SQL."""
+    from html_parser_spark.functions.sampling import corpus_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    srcs = [r.source for r in docs.select("source").distinct().collect()]
+    weights = {s: 1 + int(s[3:]) % 4 for s in srcs}
+    budget = docs.agg(
+        F.expr("cast(sum(size(split(text, ' '))) as bigint)").alias("b")
+    ).first().b
+    return corpus_mix(docs, weights, int(budget))
+
+
 def q_similarity_topk(spark, sf_dir):
     return SIM.brute_force_topk(_embs(spark, sf_dir))
 
@@ -597,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap": q_decontaminate,
         "text_bigram_lm": q_text_bigram_lm,
         "sample_stratified": q_sample_stratified,
+        "corpus_mix": q_corpus_mix,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
         "similarity_ivf_topk": q_similarity_ivf,
@@ -1119,6 +1137,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE {_WORD_HASH_D.format(w="CAST(doc_id AS VARCHAR)")} % 1000
                   < 100 + 40 * (CAST(substr(source, 4, 10) AS INTEGER) % 10)
+        """,
+        "corpus_mix": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            w AS (
+              SELECT DISTINCT source,
+                     CAST(1 + (CAST(substr(source, 4, 10) AS INTEGER) % 4)
+                          AS BIGINT) AS w
+              FROM documents
+            ),
+            wsum AS (SELECT CAST(SUM(w) AS BIGINT) AS ws FROM w),
+            budget AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS b FROM t),
+            tot AS (
+              SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+              FROM t GROUP BY source
+            ),
+            rates AS (
+              SELECT tot.source,
+                     (budget.b * w.w * 1000000) // (wsum.ws * tot.total_tokens)
+                       AS rate_ppm
+              FROM tot JOIN w USING (source)
+              CROSS JOIN wsum CROSS JOIN budget
+              WHERE tot.total_tokens > 0
+            ),
+            c AS (
+              SELECT t.doc_id, t.source, t.n_tokens, r.rate_ppm,
+                     r.rate_ppm // 1000000
+                     + (CASE WHEN ({_WORD_HASH_D.format(w="CAST(t.doc_id AS VARCHAR) || ':' || t.source")}
+                              % 1000000) < r.rate_ppm % 1000000
+                        THEN 1 ELSE 0 END) AS n_copies
+              FROM t JOIN rates r USING (source)
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+                     AS copy_idx,
+                   n_tokens, rate_ppm
+            FROM c WHERE n_copies >= 1
         """,
         "similarity_topk": f"""
             WITH q AS (

@@ -264,6 +264,20 @@ def main() -> int:
         ],
     )
 
+    audit(
+        "corpus_mix",
+        qs["corpus_mix"](spark, sf_dir),
+        [
+            ("rate table re-joins via broadcast (heavy side never shuffles "
+             "for the join)", lambda p: "BroadcastHashJoin" in p),
+            ("no window / no global sort (hash-threshold mixing, not "
+             "rank-and-cut)", lambda p: "Window" not in p
+             and "Sort [" not in p),
+            ("per-source totals are map-side partial aggregation",
+             lambda p: "partial_sum" in p),
+        ],
+    )
+
     out = ["# Physical-plan audit (tools/plan_audit.py)\n"]
     out.append(f"sf_dir: {sf_dir}; Spark {spark.version}\n")
     for name, plan, results in checks:
