@@ -74,6 +74,47 @@ def events_rollup_stream(
     )
 
 
+def events_sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-based sessionization — the streaming face of the batch
+    `events_sessionize` gate query, built on Spark's NATIVE session_window
+    (the idiomatic form: merge-on-overlap session state in the state store,
+    no custom applyInPandasWithState needed). Sessions MERGE across
+    micro-batches: an event arriving in a later batch within `gap` of a
+    user's open session extends it, and the session row is emitted exactly
+    once, when the watermark passes its end (append mode).
+
+    Boundary semantics differ from the batch lag-formulation by one
+    instant: session_window splits when the gap is >= `gap` (windows
+    [t, t+gap) merge only on strict overlap), while the lag query splits
+    when the gap is > 1800 s. Same integer-cents aggregation as the batch
+    twin, so closed streaming sessions compare bit-exactly against running
+    this SAME function over the full input in batch mode (session_window
+    works in both; withWatermark is a no-op in batch).
+
+    State posture at scale: one state-store entry per OPEN session, keyed
+    by user_id — the watermark evicts closed sessions, so state is bounded
+    by concurrently-active users, not history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)").alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def start_rollup_sink(
     rollup: DataFrame, output_dir: str, checkpoint_dir: str, available_now: bool = True
 ) -> StreamingQuery:
