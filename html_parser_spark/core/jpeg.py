@@ -6,7 +6,7 @@ implementable without a codec library, the same move that made PDF
 (FlateDecode), PNG (zlib) and GIF (LZW) real in this repo. The decoder
 handles the self-describing format honestly: marker walk, 8-bit DQT, DHT
 canonical Huffman table construction, SOF0 with sampling factors up to
-2x2 (4:4:4, 4:2:2, and the dominant real-world 4:2:0 — interleaved MCU
+4x4 at integer ratios (4:4:4, 4:2:2, 4:2:0, 4:1:1 — interleaved MCU
 block order per spec A.2.3, replication upsampling) or single-component
 grayscale, SOS, the entropy-coded segment with 0xFF00 byte unstuffing,
 DC difference coding, AC run-length/EOB/ZRL, dequantize + dezigzag,
@@ -18,9 +18,10 @@ bits), accumulating coefficients across scans and IDCTing once at EOI
 paths: byte-align at each boundary, verify the cycling marker index,
 reset DC predictors (and any progressive EOB run). SOF1 (extended
 sequential — same Huffman path at 8-bit precision) and 16-bit DQT
-entries (Pq=1) decode too. Sampling factors beyond 2, arithmetic coding
-(SOF9/SOF10), hierarchical, and lossless return None (honest
-unsupported, not a guess).
+entries (Pq=1) decode too. Fractional sampling ratios (hi not dividing
+hmax — libjpeg declines these too), arithmetic coding (SOF9/SOF10),
+hierarchical, and lossless return None (honest unsupported, not a
+guess).
 
 The writer emits correct baseline JPEGs with valid-by-construction
 canonical Huffman tables (all DC categories at 4 bits, all AC symbols at
@@ -177,8 +178,8 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
     """Baseline (SOF0/SOF1) or progressive (SOF2) JPEG -> HxWx3 uint8
     RGB (grayscale replicated to 3 channels; subsampled chroma upsampled
     by replication; restart intervals and 16-bit quant tables honored).
-    None for malformed input or honest-unsupported variants (sampling
-    factors beyond 2x2, arithmetic coding, hierarchical, lossless)."""
+    None for malformed input or honest-unsupported variants (fractional
+    sampling ratios, arithmetic coding, hierarchical, lossless)."""
     try:
         if data[:2] != b"\xff\xd8":
             return None
@@ -228,25 +229,17 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nc not in (1, 3):
                     return None
-                comps = []
-                for c in range(nc):  # components start after prec+h+w+nc = 6 bytes
-                    cid, sampling, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                    hi, vi = sampling >> 4, sampling & 0x0F
-                    if hi not in (1, 2) or vi not in (1, 2):
-                        return None  # sampling factors beyond 2 unsupported
-                    comps.append((cid, tq, hi, vi))
+                comps = _parse_sof_comps(seg, nc)
+                if comps is None:
+                    return None
                 sof = (w, h, comps)
             elif marker == 0xC2:  # SOF2 progressive
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nc not in (1, 3):
                     return None
-                comps = []
-                for c in range(nc):
-                    cid, sampling, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                    hi, vi = sampling >> 4, sampling & 0x0F
-                    if hi not in (1, 2) or vi not in (1, 2):
-                        return None
-                    comps.append((cid, tq, hi, vi))
+                comps = _parse_sof_comps(seg, nc)
+                if comps is None:
+                    return None
                 sof = (w, h, comps)
                 prog = _Progressive(w, h, comps)
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -284,6 +277,26 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
         return None
     except Exception:
         return None
+
+
+def _parse_sof_comps(seg: bytes, nc: int):
+    """Component specs from an SOF segment: [(cid, tq, hi, vi)]. Sampling
+    factors 1..4 accepted (full spec range), but only INTEGER upsampling
+    ratios: every hi must divide hmax and every vi divide vmax — the same
+    line libjpeg draws ("fractional sampling not implemented"); fractional
+    combos (e.g. 3x1 luma with 2x1 chroma) return None, honest unsupported."""
+    comps = []
+    for c in range(nc):  # components start after prec+h+w+nc = 6 bytes
+        cid, sampling, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+        hi, vi = sampling >> 4, sampling & 0x0F
+        if not (1 <= hi <= 4 and 1 <= vi <= 4):
+            return None
+        comps.append((cid, tq, hi, vi))
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if any(hmax % c[2] or vmax % c[3] for c in comps):
+        return None
+    return comps
 
 
 def _decode_scan(data, pos, w, h, tables, dri=0) -> Optional[np.ndarray]:

@@ -8,9 +8,10 @@ core/gif.py), and baseline 4:4:4/grayscale JPEG (pure-Python Huffman +
 IDCT, core/jpeg.py) — validated end-to-end by the
 `multimodal_image_decode` / `multimodal_png_decode` /
 `multimodal_gif_decode` / `multimodal_jpeg_decode` gate queries over
-synthesized files. JPEG variants beyond the implemented baseline
-(progressive, sampling factors beyond 2x2, restarts) surface an explicit
-outcome='codec_unavailable' row — an honest seam, not a fake decode.
+synthesized files. JPEG variants beyond the implemented
+baseline/progressive decoders (arithmetic coding, fractional sampling
+ratios) surface an explicit outcome='codec_unavailable' row — an honest
+seam, not a fake decode.
 
 `attach_payload` derives a deterministic 16-byte binary payload per document
 (unhex(md5(text))) so the metadata kernel output has a closed-form SQL
@@ -57,10 +58,10 @@ def real_decoder(payload: bytes) -> dict:
     """Real decode for formats a pure-Python kernel can honestly handle
     (24-bit BMP, 8-bit truecolor PNG via core/image.py, GIF via
     core/gif.py, baseline AND progressive JPEG via core/jpeg.py); a JPEG
-    variant beyond those (arithmetic coding, sampling beyond 2x2, restart
-    intervals) raises the explicit stub error — decoding those requires a
-    full codec library. For the graceful (row-outcome) form of the same
-    routing, use image_features()."""
+    variant beyond those (arithmetic coding, fractional sampling ratios)
+    raises the explicit stub error — decoding those requires a full codec
+    library. For the graceful (row-outcome) form of the same routing, use
+    image_features()."""
     from ..core.gif import decode_gif
     from ..core.image import decode_bmp, decode_png, sniff_format
     from ..core.jpeg import decode_jpeg
@@ -71,9 +72,9 @@ def real_decoder(payload: bytes) -> dict:
         if img is None:
             raise NotImplementedError(
                 "JPEG variant beyond the implemented baseline/progressive "
-                "decoders (arithmetic coding, sampling beyond 2x2, restart "
-                "intervals, or malformed) requires a codec library not "
-                "present in this environment"
+                "decoders (arithmetic coding, fractional sampling ratios, "
+                "or malformed) requires a codec library not present in "
+                "this environment"
             )
         h, w = img.shape[:2]
         return {"format": fmt, "width": w, "height": h}

@@ -138,11 +138,17 @@ def test_malformed_and_unsupported_return_none():
     # progressive path rejects it rather than guessing
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert J.decode_jpeg(prog) is None
-    # sampling factors beyond 2 are honestly unsupported
+    # sampling factors beyond the spec's 1..4 range are rejected
     sub = bytearray(good)
     sof_at = sub.find(b"\xff\xc0")
-    sub[sof_at + 11] = 0x33  # component 1 sampling 3x3
+    sub[sof_at + 11] = 0x55  # component 1 sampling 5x5
     assert J.decode_jpeg(bytes(sub)) is None
+    # FRACTIONAL sampling ratios (3x1 luma over 2x1 chroma: 3 % 2 != 0)
+    # are honestly unsupported, same line libjpeg draws
+    frac = bytearray(good)
+    frac[sof_at + 11] = 0x31
+    frac[sof_at + 14] = 0x21
+    assert J.decode_jpeg(bytes(frac)) is None
 
 
 def test_420_subsampled_decode():
@@ -193,6 +199,54 @@ def test_420_subsampled_decode():
         b2 = int(np.floor(yv + 1.772 * (cb2 - 128.0) + 0.5))
         uniq = np.unique(region.reshape(-1, 3), axis=0)
         assert len(uniq) == 1 and tuple(uniq[0]) == (r2, g2, b2), (y0, x0, uniq)
+
+
+def test_411_subsampled_decode():
+    """4:1:1 (Y 4x1, chroma 1x1): the full-range sampling factor 4 with
+    horizontal-only replication upsampling. One MCU = 4 Y blocks in a row
+    + 1 Cb + 1 Cr over a 32x8 image; per-block closed forms as in the
+    4:2:0 test."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    w, h = 32, 8
+    out = bytearray(b"\xff\xd8")
+    inv = np.zeros(64, dtype=np.uint8)
+    inv[J.ZIGZAG] = np.arange(64)
+    out += seg(0xDB, bytes([0]) + np.full(64, 16, np.uint8)[inv].tobytes())
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3) + bytes([1, 0x41, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    for tc_th, bits, vals in ((0x00, J._DC_BITS, J._DC_VALS), (0x10, J._AC_BITS, J._AC_VALS)):
+        out += seg(0xC4, bytes([tc_th] + bits + vals))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    wtr = J._BitWriter()
+    y_dcs = [2, 4, 6, 8]  # left-to-right Y blocks
+    pred = 0
+    for dc in y_dcs:
+        diff = dc - pred
+        pred = dc
+        J._emit_coeff(wtr, J._DC_ENC, J._category(diff), diff)
+        J._emit_coeff(wtr, J._AC_ENC, 0x00, 0)
+    for dc in (0, 4):  # Cb neutral, Cr warm
+        J._emit_coeff(wtr, J._DC_ENC, J._category(dc), dc)
+        J._emit_coeff(wtr, J._AC_ENC, 0x00, 0)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+
+    img = J.decode_jpeg(bytes(out))
+    assert img is not None and img.shape == (8, 32, 3)
+    cb2, cr2 = 128.0, 136.0
+    for i, dc in enumerate(y_dcs):
+        yv = 2 * dc + 128  # 16*dc/8 + 128
+        region = img[:, 8 * i : 8 * i + 8]
+        r2 = int(np.floor(yv + 1.402 * (cr2 - 128.0) + 0.5))
+        g2 = int(np.floor(yv - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5))
+        b2 = int(np.floor(yv + 1.772 * (cb2 - 128.0) + 0.5))
+        uniq = np.unique(region.reshape(-1, 3), axis=0)
+        assert len(uniq) == 1 and tuple(uniq[0]) == (r2, g2, b2), (i, uniq)
 
 
 # ---------------------------------------------------------------------------
