@@ -284,6 +284,25 @@ def q_similarity_lsh(spark, sf_dir):
     return SIM.hyperplane_lsh_topk(_embs(spark, sf_dir))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """int8 scalar quantization of the embedding corpus: per-vector scale
+    plus a base-31 mod-p fold hash that pins EVERY code element (arrays
+    themselves stay out of the compare surface)."""
+    q = SIM.quantize_int8(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "scale",
+        "code_hash",
+        F.expr("cast(size(filter(codes, c -> abs(c) = 127L)) as int)").alias(
+            "n_sat"
+        ),
+    )
+
+
+def q_similarity_quantized(spark, sf_dir):
+    return SIM.quantized_topk(_embs(spark, sf_dir))
+
+
 def q_transform_plugins(spark, sf_dir):
     """Plugin pipeline (SURVEY §2 X1-X3 as span-stream rewrites): drop media,
     cap at 3 spans, reassign dense order — closed form on the wrap."""
@@ -618,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
         "similarity_ivf_topk": q_similarity_ivf,
+        "embedding_quantize": q_embedding_quantize,
+        "similarity_quantized_topk": q_similarity_quantized,
         "transform_plugins": q_transform_plugins,
         "parse_nodes": q_parse_nodes,
         "parse_attrs": q_parse_attrs,
@@ -1177,6 +1198,70 @@ def oracle_sql() -> dict[str, str]:
                      AS copy_idx,
                    n_tokens, rate_ppm
             FROM c WHERE n_copies >= 1
+        """,
+        "embedding_quantize": """
+            WITH m AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) AS mx
+              FROM embeddings
+            ),
+            c AS (
+              SELECT e.vec_id, m.mx,
+                     CASE WHEN m.mx = 0.0e0
+                          THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(e.embedding,
+                               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0e0 / m.mx
+                                          + 0.5e0) AS BIGINT))
+                     END AS codes
+              FROM embeddings e JOIN m USING (vec_id)
+            )
+            SELECT vec_id, mx / 127.0e0 AS scale,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                       (acc, cd) -> (acc * 31 + cd + 1000000007) % 1000000007)
+                     AS code_hash,
+                   CAST(len(list_filter(codes, cd -> abs(cd) = 127))
+                        AS INTEGER) AS n_sat
+            FROM c
+        """,
+        "similarity_quantized_topk": """
+            WITH m AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) AS mx
+              FROM embeddings
+            ),
+            c AS (
+              SELECT e.vec_id,
+                     CASE WHEN m.mx = 0.0e0
+                          THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(e.embedding,
+                               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0e0 / m.mx
+                                          + 0.5e0) AS BIGINT))
+                     END AS codes
+              FROM embeddings e JOIN m USING (vec_id)
+            ),
+            q AS (
+              SELECT vec_id AS query_id, codes AS q_codes FROM c
+              WHERE vec_id < 10
+            ),
+            p AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     CAST(list_dot_product(q.q_codes, c.codes) AS DOUBLE)
+                     / (sqrt(CAST(list_dot_product(q.q_codes, q.q_codes)
+                                  AS DOUBLE))
+                        * sqrt(CAST(list_dot_product(c.codes, c.codes)
+                                    AS DOUBLE))) AS qcos
+              FROM c, q WHERE c.vec_id <> q.query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, qcos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qcos DESC, neighbor_id) AS rk
+              FROM p
+            )
+            SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, qcos
+            FROM r WHERE rk <= 5
         """,
         "similarity_topk": f"""
             WITH q AS (

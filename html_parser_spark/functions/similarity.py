@@ -178,3 +178,94 @@ def hyperplane_lsh_topk(embs: DataFrame, n_queries: int = 10, k: int = 5) -> Dat
         )
     )
     return _ranked_topk(pairs, k)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + quantized (symmetric) ANN search
+# ---------------------------------------------------------------------------
+
+INT8_MAX = 127
+Q_HASH_P = 1_000_000_007
+
+
+def maxabs_expr(col: str) -> str:
+    """Per-vector max |component| as a double (order-independent, so a
+    list_max oracle reproduces the fold exactly)."""
+    return (
+        f"aggregate({col}, cast(0.0 as double), "
+        "(acc, x) -> greatest(acc, abs(cast(x as double))))"
+    )
+
+
+def quantize_int8(embs: DataFrame, col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the memory-scale
+    path for vector search: codes take 8 bits/dim instead of 32, so a
+    100 TB embedding corpus's index shrinks 4x (and the hot search loop
+    becomes integer arithmetic). code_d = round_half_up(v_d * 127 / max|v|)
+    in [-127, 127]; reconstruct as codes * scale with scale = max|v|/127.
+
+    Determinism: rounding is floor(x + 0.5) in double — identical in every
+    engine (no round() half-even/away divergence); max|v| is
+    order-independent. A zero vector quantizes to all-zero codes with
+    scale 0 (no NaN path). max|v| is hoisted into a column BEFORE the
+    transform lambda — referencing the fold inside the lambda would
+    re-evaluate it per element (the O(d^2) lambda trap).
+
+    Output: (vec_id, codes array<bigint>, scale double, code_hash) —
+    code_hash is a base-31 mod-p left fold over the codes so an oracle
+    pins every element, not just aggregates."""
+    mx = maxabs_expr(col)
+    codes = (
+        f"case when mx = cast(0.0 as double) then transform({col}, x -> 0L) "
+        f"else transform({col}, x -> cast(floor(cast(x as double) "
+        f"* cast({INT8_MAX}.0 as double) / mx + cast(0.5 as double)) as bigint)) end"
+    )
+    return (
+        embs.withColumn("mx", F.expr(mx))
+        .withColumn("codes", F.expr(codes))
+        .select(
+            "vec_id",
+            "codes",
+            F.expr(f"mx / cast({INT8_MAX}.0 as double)").alias("scale"),
+            F.expr(
+                f"aggregate(codes, 0L, (acc, c) -> "
+                f"pmod(acc * 31 + c + {Q_HASH_P}, {Q_HASH_P}))"
+            ).alias("code_hash"),
+        )
+    )
+
+
+_IDOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+def quantized_cos_expr(a: str, b: str) -> str:
+    """Cosine over int8 code vectors: the dot and both norms are EXACT
+    int64 sums (|code| <= 127, dim 64: max 127^2*64 ~ 1e6, no overflow),
+    cast to double only for the final divide — bit-identical across
+    engines with no fold-order sensitivity."""
+    return (
+        f"cast({_IDOT.format(a=a, b=b)} as double) / "
+        f"(sqrt(cast({_IDOT.format(a=a, b=a)} as double)) * "
+        f"sqrt(cast({_IDOT.format(a=b, b=b)} as double)))"
+    )
+
+
+def quantized_topk(embs: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Top-k by SYMMETRIC quantized cosine (both sides int8): the scale
+    path where the corpus index holds only codes — 4x less memory traffic
+    than float32 and integer dot products in the hot loop; full-precision
+    re-ranking can follow on the k survivors. Same broadcast-the-queries
+    shape as brute_force_topk (corpus scanned once, never shuffled for
+    the join). Output: (query_id, neighbor_id, rank, qcos)."""
+    quant = quantize_int8(embs).select("vec_id", "codes")
+    q = F.broadcast(
+        quant.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+        )
+    )
+    pairs = quant.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(quantized_cos_expr("q_codes", "codes")).alias("cos"),
+    )
+    return _ranked_topk(pairs, k).withColumnRenamed("cos", "qcos")
