@@ -39,7 +39,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from html_parser_spark.functions import dedup as DD
+from html_parser_spark.functions import joins as JN
 from html_parser_spark.functions import similarity as SIM
+from html_parser_spark.functions import sketch as SK
 from html_parser_spark.functions import text as TXT
 from html_parser_spark.kernels.extract import ExtractOptions
 from html_parser_spark.operators.extract import (
@@ -608,6 +610,138 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def _hll_oracle(key_sql: str) -> str:
+    """DuckDB mirror of functions/sketch.hll_distinct over events grouped
+    by event_type: recomputes the sketch REGISTER-FOR-REGISTER (same md5
+    bits, same integer fold, same single-division estimate — see the
+    sketch.py module docstring for the ln/rounding determinism argument)."""
+    return f"""
+        WITH k AS (
+          SELECT event_type, md5({key_sql}) AS h FROM events
+        ), p AS (
+          SELECT event_type,
+                 (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS reg,
+                 substr(h, 3, 14) AS rest,
+                 length(regexp_extract(substr(h, 3, 14), '^0*', 0)) AS z
+          FROM k
+        ), r AS (
+          SELECT event_type, reg,
+                 LEAST(CASE WHEN z = 14 THEN 57
+                       ELSE 4 * z
+                            + (CASE WHEN iv >= 8 THEN 0 WHEN iv >= 4 THEN 1
+                                    WHEN iv >= 2 THEN 2 ELSE 3 END) + 1
+                       END, 40) AS rho
+          FROM (SELECT event_type, reg, z,
+                       instr('0123456789abcdef', substr(rest, z + 1, 1)) - 1
+                         AS iv
+                FROM p)
+        ), m AS (
+          SELECT event_type, reg, MAX(rho) AS mrho FROM r GROUP BY 1, 2
+        ), f AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS INTEGER) AS n_reg,
+                 CAST(256 - COUNT(*) AS INTEGER) AS v_zero,
+                 CAST(CAST(SUM(1::BIGINT << (40 - mrho)) AS BIGINT)
+                      + CAST(256 - COUNT(*) AS BIGINT) * (1::BIGINT << 40)
+                      AS BIGINT) AS s_fold
+          FROM m GROUP BY 1
+        ), est AS (
+          SELECT *,
+                 0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 256.0e0 * 256.0e0
+                 * CAST(1::BIGINT << 40 AS DOUBLE) / CAST(s_fold AS DOUBLE)
+                   AS raw_est
+          FROM f
+        ), x AS (
+          SELECT event_type,
+                 CAST(COUNT(DISTINCT {key_sql}) AS BIGINT) AS exact_distinct
+          FROM events GROUP BY 1
+        )
+        SELECT est.event_type, n_reg, v_zero, s_fold, raw_est,
+               CAST(round(CASE WHEN raw_est <= 2.5e0 * 256.0e0 AND v_zero > 0
+                          THEN 256.0e0 * ln(256.0e0 / CAST(v_zero AS DOUBLE))
+                          ELSE raw_est END) AS BIGINT) AS est_rounded,
+               exact_distinct
+        FROM est JOIN x USING (event_type)
+    """
+
+
+def _events_utc(spark, sf_dir):
+    """events with the session clock pinned to UTC so epoch arithmetic
+    matches DuckDB's (same convention as q_events_sessionize); ts is cast
+    NTZ -> TIMESTAMP (wall-clock preserving under UTC) because
+    unix_micros() rejects TIMESTAMP_NTZ."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of attribution: every purchase joined to the user's LATEST click
+    at-or-before it (functions/joins.asof_join — union-window plan, ONE
+    Exchange, no pair blowup). Oracle: DuckDB's native ASOF JOIN — a real
+    cross-engine check of the operator's semantics (tie-free at every sf,
+    verified)."""
+    ev = _events_utc(spark, sf_dir)
+    left = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    right = ev.where("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    res = JN.asof_join(left, right, on="user_id", right_cols=["click_event_id"])
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        F.unix_micros(F.col("asof_ts")).alias("click_us"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).alias(
+            "wait_us"
+        ),
+    )
+
+
+def q_events_error_burst(spark, sf_dir):
+    """Range (proximity) join: clicks of the same user within the 120 s
+    BEFORE each error (functions/joins.range_join_count — banded equi-join,
+    bounded 2x fan-out, never an inequality/cartesian join)."""
+    ev = _events_utc(spark, sf_dir)
+    left = ev.where("event_type = 'error'").select("event_id", "user_id", "ts")
+    right = ev.where("event_type = 'click'").select("user_id", "ts")
+    res = JN.range_join_count(
+        left, right, on="user_id", window_secs=120, count_alias="n_clicks_2m"
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("err_us"),
+        "n_clicks_2m",
+    )
+
+
+def q_sketch_hll_users(spark, sf_dir):
+    """Deterministic HLL distinct users per event type (functions/sketch.py
+    — md5-derived registers, integer-exact fold, O(256) state per group;
+    the oracle recomputes the sketch register-for-register). The ~150-user
+    groups exercise the small-range linear-counting branch."""
+    return SK.hll_distinct(
+        _events_utc(spark, sf_dir),
+        "cast(user_id as string)",
+        ["event_type"],
+    )
+
+
+def q_sketch_hll_user_minutes(spark, sf_dir):
+    """HLL over the higher-cardinality key (user, activity-minute) —
+    exercises the raw-estimator branch at sf >= 0.01 (cardinality per
+    group > 2.5*m) and linear counting at sf0.001."""
+    key = (
+        "concat(cast(user_id as string), '-', "
+        "cast(unix_micros(ts) div 60000000 as string))"
+    )
+    return SK.hll_distinct(_events_utc(spark, sf_dir), key, ["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_flagship": q_extract_flagship,
@@ -658,6 +792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_asof_attribution": q_events_asof,
+        "events_error_burst": q_events_error_burst,
+        "sketch_hll_users": q_sketch_hll_users,
+        "sketch_hll_user_minutes": q_sketch_hll_user_minutes,
     }
 
 
@@ -1668,4 +1806,42 @@ def oracle_sql() -> dict[str, str]:
                      AS value_cents
             FROM s GROUP BY 1, 2
         """,
+        # cross-engine check of the as-of operator itself: DuckDB's NATIVE
+        # ASOF JOIN vs our union-window plan ((user_id, ts) is tie-free at
+        # every sf — verified — so both semantics are identical)
+        "events_asof_attribution": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT user_id, ts, event_id AS click_event_id FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT l.event_id, l.user_id,
+                   epoch_us(l.ts) AS purchase_us,
+                   r.click_event_id,
+                   epoch_us(r.ts) AS click_us,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS wait_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_error_burst": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error'
+            ), r AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS err_us,
+                   CAST(COUNT(r.ts) AS INTEGER) AS n_clicks_2m
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id
+             AND epoch_us(l.ts) - epoch_us(r.ts) BETWEEN 0 AND 120000000
+            GROUP BY 1, 2, 3
+        """,
+        "sketch_hll_users": _hll_oracle("CAST(user_id AS VARCHAR)"),
+        "sketch_hll_user_minutes": _hll_oracle(
+            "concat(CAST(user_id AS VARCHAR), '-', "
+            "CAST(epoch_us(ts) // 60000000 AS VARCHAR))"
+        ),
     }

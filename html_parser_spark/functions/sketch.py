@@ -1,0 +1,137 @@
+"""Deterministic distinct-count sketching (HyperLogLog) as pure DataFrame
+aggregation — the cardinality primitive a 100 TB profiling pass needs.
+
+Spark's own `approx_count_distinct` is HLL too, but its hash (xxhash64 of
+the internal binary layout) and its bias-correction tables are
+engine-private: no external oracle can reproduce the estimate, so a gate
+can only bound it. This implementation derives EVERY bit from `md5` of
+the key string — the same portable hash the rest of the repo uses — so an
+ANSI-SQL oracle recomputes the sketch register-for-register and the gate
+compares exactly, not approximately.
+
+Register layout (m = 256 registers):
+  h            = md5(key)                    (32 hex chars, both engines)
+  register j   = value of hex chars 1..2     (0..255)
+  rho          = 1 + leading zero BITS of hex chars 3..16 (56 bits),
+                 i.e. 4*z + nlz(first nonzero nibble) + 1; 57 if all zero
+  M[j]         = max rho seen in register j  (map-side combinable max)
+
+Estimator (Flajolet et al. 2007), made integer-exact for the oracle:
+  S            = sum over all 256 registers of 2^(RHO_CAP - min(M[j],
+                 RHO_CAP)) as a BIGINT (absent registers contribute
+                 2^RHO_CAP each); RHO_CAP=40 keeps S < 2^48 — no
+                 overflow, no float fold-order sensitivity.
+  raw          = alpha_256 * m^2 * 2^RHO_CAP / S      (alpha_256 =
+                 0.7213/(1+1.079/m)) — one double division over exact
+                 integers: bit-identical in any engine.
+  linear range = when raw <= 2.5*m and some register is empty:
+                 m * ln(m/V) with V = empty registers (small-range
+                 correction). `ln` is NOT cross-engine bit-stable (18 of
+                 the 256 possible inputs differ by 1 ulp between the JVM
+                 and DuckDB — measured), so the gate surface exposes the
+                 estimate ROUNDED to integer: every possible linear value
+                 sits >=0.004 from a rounding boundary, so the rounded
+                 BIGINT is provably engine-identical.
+
+Scale posture: stage 1 is groupBy(group, register) max(rho) — partial
+aggregation runs map-side, so each executor ships at most
+groups x 256 rows regardless of input size; stage 2 reduces 256 rows per
+group. Total state per group is O(m). This is exactly why HLL is the
+100 TB distinct-count operator: the full shuffle of a COUNT(DISTINCT)
+never happens.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M_REG = 256
+RHO_CAP = 40
+ALPHA_EXPR = "0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)"
+
+_HEXV = "(instr('0123456789abcdef', {c}) - 1)"
+
+
+def _register_rho_exprs(key_expr: str) -> tuple[str, str]:
+    """(register, rho) SQL expressions over md5(key_expr)."""
+    h = f"md5({key_expr})"
+    reg = (
+        f"{_HEXV.format(c=f'substr({h}, 1, 1)')} * 16 + "
+        f"{_HEXV.format(c=f'substr({h}, 2, 1)')}"
+    )
+    rest = f"substr({h}, 3, 14)"
+    z = f"length(regexp_extract({rest}, '^0*', 0))"
+    nib = _HEXV.format(c=f"substr({rest}, {z} + 1, 1)")
+    # leading zero bits inside the first nonzero nibble (8..f->0, 4..7->1,
+    # 2..3->2, 1->3); all-56-bits-zero -> rho = 57
+    rho = (
+        f"case when {z} = 14 then 57 else cast(4 * {z} + "
+        f"(case when {nib} >= 8 then 0 when {nib} >= 4 then 1 "
+        f"when {nib} >= 2 then 2 else 3 end) + 1 as int) end"
+    )
+    return reg, rho
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_expr: str,
+    group_cols: Optional[Sequence[str]] = None,
+    with_exact: bool = True,
+) -> DataFrame:
+    """HLL distinct-count of `key_expr` per `group_cols` (global if None).
+
+    Output: group cols + (n_reg int, v_zero int, s_fold bigint,
+    raw_est double, est_rounded bigint[, exact_distinct bigint]) —
+    raw_est is the pure-arithmetic HLL estimate (bit-exact cross-engine);
+    est_rounded applies the small-range linear-counting correction and
+    rounds (see module docstring for why rounding is on the surface).
+    """
+    groups = list(group_cols or [])
+    reg, rho = _register_rho_exprs(key_expr)
+    regs = df.selectExpr(
+        *groups, f"cast({reg} as int) as _reg", f"{rho} as _rho"
+    ).groupBy(*groups, "_reg")
+    per_reg = regs.agg(F.expr(f"least(max(_rho), {RHO_CAP})").alias("_mrho"))
+
+    folded = per_reg.groupBy(*groups).agg(
+        F.expr("cast(count(*) as int)").alias("n_reg"),
+        F.expr(
+            f"cast(sum(shiftleft(cast(1 as bigint), {RHO_CAP} - _mrho)) "
+            "as bigint)"
+        ).alias("_s_present"),
+    )
+    out = folded.selectExpr(
+        *groups,
+        "n_reg",
+        f"cast({M_REG} - n_reg as int) as v_zero",
+        f"cast(_s_present + cast({M_REG} - n_reg as bigint) * "
+        f"shiftleft(cast(1 as bigint), {RHO_CAP}) as bigint) as s_fold",
+    ).selectExpr(
+        *groups,
+        "n_reg",
+        "v_zero",
+        "s_fold",
+        f"{ALPHA_EXPR} * {float(M_REG)}e0 * {float(M_REG)}e0 * "
+        f"cast(shiftleft(cast(1 as bigint), {RHO_CAP}) as double) "
+        "/ cast(s_fold as double) as raw_est",
+    ).selectExpr(
+        *groups,
+        "n_reg",
+        "v_zero",
+        "s_fold",
+        "raw_est",
+        f"cast(round(case when raw_est <= 2.5e0 * {float(M_REG)}e0 "
+        f"and v_zero > 0 then {float(M_REG)}e0 * "
+        f"ln({float(M_REG)}e0 / cast(v_zero as double)) "
+        "else raw_est end) as bigint) as est_rounded",
+    )
+    if with_exact:
+        exact = df.selectExpr(*groups, f"{key_expr} as _k").groupBy(*groups).agg(
+            F.expr("cast(count(distinct _k) as bigint)").alias("exact_distinct")
+        )
+        join_on = groups if groups else None
+        out = out.join(exact, on=join_on) if join_on else out.crossJoin(exact)
+    return out
