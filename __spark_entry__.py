@@ -535,6 +535,28 @@ def q_multimodal_video(spark, sf_dir):
     return video_frame_sample(attach_y4m(_docs_spread(spark, sf_dir)), every=2)
 
 
+def q_multimodal_mp3(spark, sf_dir):
+    """REAL MP3 frame-header walk end-to-end: synthesize a structurally
+    correct CBR MPEG-1 Layer III stream per document (params from the
+    fresh md5(text||'mp3') byte stream f0..f4) and walk its frame headers
+    (core/av.mp3_info). Closed forms: frame_len = 144000*kbps//rate,
+    duration_us = n_frames*1152*1e6//rate. Payload audio stays
+    codec_unavailable by design — this is the header-cost metadata pass."""
+    from html_parser_spark.operators.multimodal import attach_mp3, mp3_frame_stats
+
+    return mp3_frame_stats(attach_mp3(_docs_spread(spark, sf_dir)))
+
+
+def q_multimodal_mp4(spark, sf_dir):
+    """REAL ISO-BMFF box-tree walk end-to-end: synthesize a
+    single-video-track MP4 per document (params from md5(text||'mp4')
+    g0..g4) and walk ftyp/moov/trak/stbl (core/av.mp4_info) — mdat is
+    never read (range-read cost at scale). Closed forms in the params."""
+    from html_parser_spark.operators.multimodal import attach_mp4, mp4_box_stats
+
+    return mp4_box_stats(attach_mp4(_docs_spread(spark, sf_dir)))
+
+
 def q_layout_pdf(spark, sf_dir):
     """REAL PDF text extraction end-to-end: synthesize a valid 2-page PDF
     per document (title page + body page; half the corpus FlateDecode-
@@ -788,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_audio_meta": q_multimodal_audio,
         "multimodal_video_frames": q_multimodal_video,
+        "multimodal_mp3_meta": q_multimodal_mp3,
+        "multimodal_mp4_meta": q_multimodal_mp4,
         "layout_pdf_text": q_layout_pdf,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_hourly": q_events_hourly,
@@ -1805,6 +1829,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS value_cents
             FROM s GROUP BY 1, 2
+        """,
+        "multimodal_mp3_meta": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST('0x' || substr(md5(text || 'mp3'), 1, 2) AS INTEGER) AS f0,
+                     CAST('0x' || substr(md5(text || 'mp3'), 3, 2) AS INTEGER) AS f1,
+                     CAST('0x' || substr(md5(text || 'mp3'), 5, 2) AS INTEGER) AS f2,
+                     CAST('0x' || substr(md5(text || 'mp3'), 7, 2) AS INTEGER) AS f3
+              FROM documents
+            ), p AS (
+              SELECT doc_id,
+                     3 + f0 % 6 AS n_frames,
+                     ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[1 + f1 % 14]
+                       AS kbps,
+                     ([44100,48000,32000])[1 + f2 % 3] AS rate,
+                     f3 % 2 AS has_id3
+              FROM d
+            )
+            SELECT doc_id, 'mp3' AS format, 'parsed' AS outcome,
+                   CAST(kbps AS INTEGER) AS bitrate_kbps,
+                   CAST(rate AS INTEGER) AS sample_rate,
+                   CAST(n_frames AS INTEGER) AS n_frames,
+                   CAST(CAST(n_frames AS BIGINT) * 1152 * 1000000 // rate AS BIGINT) AS duration_us,
+                   CAST(CAST(n_frames AS BIGINT) * (144000 * kbps // rate) AS BIGINT) AS n_bytes,
+                   CAST(has_id3 AS INTEGER) AS has_id3,
+                   CAST(1 AS INTEGER) AS is_cbr
+            FROM p
+        """,
+        "multimodal_mp4_meta": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST('0x' || substr(md5(text || 'mp4'), 1, 2) AS INTEGER) AS g0,
+                     CAST('0x' || substr(md5(text || 'mp4'), 3, 2) AS INTEGER) AS g1,
+                     CAST('0x' || substr(md5(text || 'mp4'), 5, 2) AS INTEGER) AS g2,
+                     CAST('0x' || substr(md5(text || 'mp4'), 7, 2) AS INTEGER) AS g3,
+                     CAST('0x' || substr(md5(text || 'mp4'), 9, 2) AS INTEGER) AS g4
+              FROM documents
+            ), p AS (
+              SELECT doc_id,
+                     16 * (1 + g0 % 40) AS width,
+                     16 * (1 + g1 % 30) AS height,
+                     ([600,1000,90000])[1 + g2 % 3] AS timescale,
+                     100 + 10 * g3 AS duration,
+                     1 + g4 % 50 AS n_samples
+              FROM d
+            )
+            SELECT doc_id, 'mp4' AS format, 'parsed' AS outcome,
+                   'isom' AS brand,
+                   CAST(width AS INTEGER) AS width,
+                   CAST(height AS INTEGER) AS height,
+                   CAST(timescale AS INTEGER) AS timescale,
+                   CAST(CAST(duration AS BIGINT) * 1000000 // timescale AS BIGINT) AS duration_us,
+                   CAST(1 AS INTEGER) AS n_tracks,
+                   CAST(n_samples AS INTEGER) AS n_samples
+            FROM p
         """,
         # cross-engine check of the as-of operator itself: DuckDB's NATIVE
         # ASOF JOIN vs our union-window plan ((user_id, ts) is tie-free at

@@ -148,3 +148,262 @@ def synth_y4m(width: int, height: int, lumas: list[int]) -> bytes:
         out += bytes([luma]) * (width * height)
         out += b"\x80" * (2 * csz)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Layer III) — frame-HEADER walk: container-level metadata
+# ---------------------------------------------------------------------------
+# The frame *payloads* are Huffman-coded subband data that honestly needs a
+# codec (still routed to 'codec_unavailable' by audio_features); the frame
+# STRUCTURE is plain arithmetic over 4-byte headers, so duration / bitrate /
+# frame count are exact without decoding a single sample — the metadata a
+# corpus profiler needs, at seek-only cost.
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 if none): 10-byte header
+    whose size field is four 7-bit 'syncsafe' bytes."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    if any(b & 0x80 for b in data[6:10]):
+        return 0  # malformed syncsafe
+    return 10 + ((data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9])
+
+
+def mp3_info(data: bytes) -> Optional[dict]:
+    """Walk MPEG-1 Layer III frame headers -> {bitrate_kbps (first frame),
+    sample_rate, n_frames, duration_us, n_bytes, has_id3, is_cbr}. Frames
+    are stepped by the header's own length formula
+    (144000 * kbps / rate + padding); a non-MPEG1-L3 or invalid header ends
+    the walk. None when no valid frame exists. Never raises."""
+    try:
+        skip = _id3v2_size(data)
+        pos = skip
+        n = 0
+        first_kbps = None
+        rate = None
+        cbr = True
+        while pos + 4 <= len(data):
+            h = int.from_bytes(data[pos : pos + 4], "big")
+            if (h >> 21) != 0x7FF:
+                break
+            if (h >> 19) & 3 != 3 or (h >> 17) & 3 != 1:
+                break  # MPEG-1 Layer III only
+            bi = (h >> 12) & 0xF
+            ri = (h >> 10) & 3
+            if bi in (0, 15) or ri == 3:
+                break  # 'free'/bad bitrate or reserved rate
+            kbps = _MP3_BITRATES[bi]
+            r = _MP3_RATES[ri]
+            if first_kbps is None:
+                first_kbps, rate = kbps, r
+            elif kbps != first_kbps:
+                cbr = False
+            if r != rate:
+                break  # rate switch mid-stream: treat as end
+            flen = 144_000 * kbps // r + ((h >> 9) & 1)
+            if flen <= 4 or pos + flen > len(data):
+                break
+            pos += flen
+            n += 1
+        if n == 0 or rate is None:
+            return None
+        return {
+            "bitrate_kbps": first_kbps,
+            "sample_rate": rate,
+            "n_frames": n,
+            "duration_us": n * _MP3_SAMPLES_PER_FRAME * 1_000_000 // rate,
+            "n_bytes": pos - skip,
+            "has_id3": 1 if skip else 0,
+            "is_cbr": 1 if cbr else 0,
+        }
+    except Exception:
+        return None
+
+
+def synth_mp3(
+    n_frames: int,
+    bitrate_idx: int,
+    rate_idx: int,
+    id3_size: Optional[int] = None,
+) -> bytes:
+    """A structurally correct CBR MPEG-1 Layer III stream: real headers,
+    zeroed payloads (deliberately NOT decodable audio — the walker never
+    reads payload bytes). Closed forms: frame_len = 144000*kbps//rate,
+    duration_us = n_frames*1152*1e6//rate."""
+    kbps = _MP3_BITRATES[bitrate_idx]
+    rate = _MP3_RATES[rate_idx]
+    out = bytearray()
+    if id3_size is not None:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        out += b"\x00" * id3_size
+    # sync(11) ver=11 layer=01 noprot=1 | bitrate rate pad=0 priv=0 | rest 0
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2), 0x00])
+    flen = 144_000 * kbps // rate
+    frame = hdr + b"\x00" * (flen - 4)
+    for _ in range(n_frames):
+        out += frame
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF — box-tree walk: container-level metadata
+# ---------------------------------------------------------------------------
+# Same honesty line: sample DATA is H.264/AAC (codec_unavailable); the box
+# TREE (ISO/IEC 14496-12) is pure structure. A walker that never touches
+# mdat gives brand / duration / track dims / sample count at header cost —
+# on object storage that is a few range-reads regardless of file size.
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each box in [start, end);
+    handles 64-bit largesize and size=0 (to end). Stops on malformed."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        four = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield four, body, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, four: bytes):
+    for f, b, e in _walk_boxes(data, start, end):
+        if f == four:
+            return b, e
+    return None
+
+
+def mp4_info(data: bytes) -> Optional[dict]:
+    """ISO-BMFF box walk -> {brand, timescale, duration_us, n_tracks,
+    width, height, n_samples}. width/height come from the first video
+    trak's tkhd (16.16 fixed point); n_samples from its stsz. None when
+    there is no moov/mvhd. Never raises; never reads mdat."""
+    try:
+        if len(data) < 16:
+            return None
+        brand = ""
+        ft = _find_box(data, 0, len(data), b"ftyp")
+        if ft is not None and ft[1] - ft[0] >= 4:
+            brand = data[ft[0] : ft[0] + 4].decode("latin-1").strip()
+        mv = _find_box(data, 0, len(data), b"moov")
+        if mv is None:
+            return None
+        mh = _find_box(data, mv[0], mv[1], b"mvhd")
+        if mh is None:
+            return None
+        ver = data[mh[0]]
+        if ver == 1:
+            timescale = int.from_bytes(data[mh[0] + 20 : mh[0] + 24], "big")
+            duration = int.from_bytes(data[mh[0] + 24 : mh[0] + 32], "big")
+        else:
+            timescale = int.from_bytes(data[mh[0] + 12 : mh[0] + 16], "big")
+            duration = int.from_bytes(data[mh[0] + 16 : mh[0] + 20], "big")
+        if not timescale:
+            return None
+        width = height = n_samples = 0
+        n_tracks = 0
+        for f, b, e in _walk_boxes(data, mv[0], mv[1]):
+            if f != b"trak":
+                continue
+            n_tracks += 1
+            tk = _find_box(data, b, e, b"tkhd")
+            if tk is not None and not width and not height:
+                tv = data[tk[0]]
+                # width/height follow version+flags(4) + times(8|16) +
+                # track_id+reserved(8) + duration(4|8) + reserved(8) +
+                # layer/alt/volume/reserved(8) + matrix(36)
+                off = tk[0] + (88 if tv == 1 else 76)
+                if off + 8 <= tk[1]:
+                    w = int.from_bytes(data[off : off + 4], "big") >> 16
+                    h = int.from_bytes(data[off + 4 : off + 8], "big") >> 16
+                    if w and h:
+                        width, height = w, h
+            md = _find_box(data, b, e, b"mdia")
+            if md is not None and not n_samples:
+                mi = _find_box(data, md[0], md[1], b"minf")
+                if mi is not None:
+                    st = _find_box(data, mi[0], mi[1], b"stbl")
+                    if st is not None:
+                        sz = _find_box(data, st[0], st[1], b"stsz")
+                        if sz is not None and sz[1] - sz[0] >= 12:
+                            n_samples = int.from_bytes(
+                                data[sz[0] + 8 : sz[0] + 12], "big"
+                            )
+        return {
+            "brand": brand,
+            "timescale": timescale,
+            "duration_us": duration * 1_000_000 // timescale,
+            "n_tracks": n_tracks,
+            "width": width,
+            "height": height,
+            "n_samples": n_samples,
+        }
+    except Exception:
+        return None
+
+
+def _box(four: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + four + body
+
+
+def synth_mp4(
+    width: int,
+    height: int,
+    timescale: int,
+    duration: int,
+    n_samples: int,
+    sample_size: int = 16,
+) -> bytes:
+    """A structurally correct single-video-track MP4 (ftyp + moov box tree
+    + mdat of zeroed samples — deliberately NOT decodable media). All
+    mp4_info outputs have closed forms in the arguments."""
+    mvhd = bytes(12) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+    mvhd += b"\x00\x01\x00\x00" + b"\x01\x00" + bytes(10) + (
+        b"\x00\x01\x00\x00" + bytes(12) + b"\x00\x01\x00\x00" + bytes(12)
+        + b"\x40\x00\x00\x00"
+    ) + bytes(24) + (2).to_bytes(4, "big")
+    tkhd = b"\x00\x00\x00\x07" + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+    tkhd += duration.to_bytes(4, "big") + bytes(8) + bytes(4) + bytes(4)
+    tkhd += (
+        b"\x00\x01\x00\x00" + bytes(12) + b"\x00\x01\x00\x00" + bytes(12)
+        + b"\x40\x00\x00\x00"
+    )
+    tkhd += (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big")
+    mdhd = bytes(12) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+    mdhd += b"\x55\xc4\x00\x00"
+    hdlr = bytes(8) + b"vide" + bytes(12) + b"synth\x00"
+    stsd = bytes(4) + (0).to_bytes(4, "big")
+    stts = bytes(4) + (1).to_bytes(4, "big") + n_samples.to_bytes(4, "big") + (
+        max(duration // max(n_samples, 1), 1)
+    ).to_bytes(4, "big")
+    stsz = bytes(4) + sample_size.to_bytes(4, "big") + n_samples.to_bytes(4, "big")
+    stco = bytes(4) + (0).to_bytes(4, "big")
+    stbl = _box(b"stsd", stsd) + _box(b"stts", stts) + _box(b"stsz", stsz) + _box(
+        b"stco", stco
+    )
+    minf = _box(b"stbl", stbl)
+    mdia = _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + _box(b"minf", minf)
+    trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+    moov = _box(b"mvhd", mvhd) + _box(b"trak", trak)
+    return (
+        _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+        + _box(b"moov", moov)
+        + _box(b"mdat", b"\x00" * (sample_size * n_samples))
+    )

@@ -769,3 +769,243 @@ def media_metadata(
             )
 
     return df.mapInPandas(kernel, schema=MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MP4 container metadata (frame-header + box-tree walks, no codec)
+# ---------------------------------------------------------------------------
+
+MP3_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("format", StringType()),
+        StructField("outcome", StringType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_us", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("has_id3", IntegerType()),
+        StructField("is_cbr", IntegerType()),
+    ]
+)
+
+
+def attach_mp3(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload) with a structurally correct CBR
+    MPEG-1 Layer III stream per document. Params come from the FRESH
+    md5(text || 'mp3') byte stream f0..f4 (hex chars 1-10; per-format
+    streams never overlap — FIXTURES.md): n_frames = 3 + f0%6,
+    bitrate_idx = 1 + f1%14, rate_idx = f2%3, ID3v2 tag of f4 bytes iff
+    f3 is odd."""
+    from ..core.av import synth_mp3
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                b = hashlib.md5(((text or "") + "mp3").encode("utf-8")).digest()
+                payloads.append(
+                    synth_mp3(
+                        n_frames=3 + b[0] % 6,
+                        bitrate_idx=1 + b[1] % 14,
+                        rate_idx=b[2] % 3,
+                        id3_size=b[4] if b[3] % 2 else None,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def mp3_frame_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL MPEG-1 Layer III frame-header walk over a binary column
+    (core/av.mp3_info): bitrate / sample rate / frame count / exact
+    duration WITHOUT decoding audio (payload Huffman data still needs a
+    codec — audio_features keeps that seam explicit). Malformed input
+    degrades to outcome='unparseable'; the stage never fails."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.av import mp3_info
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("format", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("bitrate_kbps", pa.int32()),
+                pa.field("sample_rate", pa.int32()),
+                pa.field("n_frames", pa.int32()),
+                pa.field("duration_us", pa.int64()),
+                pa.field("n_bytes", pa.int64()),
+                pa.field("has_id3", pa.int32()),
+                pa.field("is_cbr", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            cols = [[] for _ in range(10)]
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                d = mp3_info(bytes(p) if p is not None else b"")
+                if d is None:
+                    row = ("mp3", "unparseable", 0, 0, 0, 0, 0, 0, 0)
+                else:
+                    row = (
+                        "mp3", "parsed", d["bitrate_kbps"], d["sample_rate"],
+                        d["n_frames"], d["duration_us"], d["n_bytes"],
+                        d["has_id3"], d["is_cbr"],
+                    )
+                for c, v in zip(cols, (str(doc_id),) + row):
+                    c.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, f.type) for c, f in zip(cols, schema)], schema=schema
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=MP3_META_SCHEMA)
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("format", StringType()),
+        StructField("outcome", StringType()),
+        StructField("brand", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_us", LongType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("n_samples", IntegerType()),
+    ]
+)
+
+
+def attach_mp4(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload) with a structurally correct
+    single-video-track MP4 per document. Params from the FRESH
+    md5(text || 'mp4') byte stream g0..g4: width = 16*(1 + g0%40),
+    height = 16*(1 + g1%30), timescale = (600,1000,90000)[g2%3],
+    duration = 100 + 10*g3 units, n_samples = 1 + g4%50."""
+    from ..core.av import synth_mp4
+
+    _SCALES = (600, 1000, 90000)
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                b = hashlib.md5(((text or "") + "mp4").encode("utf-8")).digest()
+                payloads.append(
+                    synth_mp4(
+                        width=16 * (1 + b[0] % 40),
+                        height=16 * (1 + b[1] % 30),
+                        timescale=_SCALES[b[2] % 3],
+                        duration=100 + 10 * b[3],
+                        n_samples=1 + b[4] % 50,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def mp4_box_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL ISO-BMFF box-tree walk over a binary column (core/av.mp4_info):
+    brand / duration / track dims / sample count WITHOUT touching mdat —
+    at 100 TB this is a handful of range-reads per object, never a full
+    scan. Sample DATA stays codec_unavailable territory by design.
+    Malformed input degrades to outcome='unparseable'."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.av import mp4_info
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("format", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("brand", pa.string()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+                pa.field("timescale", pa.int32()),
+                pa.field("duration_us", pa.int64()),
+                pa.field("n_tracks", pa.int32()),
+                pa.field("n_samples", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            cols = [[] for _ in range(10)]
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                d = mp4_info(bytes(p) if p is not None else b"")
+                if d is None:
+                    row = ("mp4", "unparseable", "", 0, 0, 0, 0, 0, 0)
+                else:
+                    row = (
+                        "mp4", "parsed", d["brand"], d["width"], d["height"],
+                        d["timescale"], d["duration_us"], d["n_tracks"],
+                        d["n_samples"],
+                    )
+                for c, v in zip(cols, (str(doc_id),) + row):
+                    c.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, f.type) for c, f in zip(cols, schema)], schema=schema
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=MP4_META_SCHEMA)

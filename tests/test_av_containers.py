@@ -1,0 +1,107 @@
+"""MP3 frame-header walk and MP4 box-tree walk (core/av.py) plus their
+Spark operators (operators/multimodal.attach_mp3/mp3_frame_stats,
+attach_mp4/mp4_box_stats)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from html_parser_spark.core.av import (
+    mp3_info,
+    mp4_info,
+    synth_mp3,
+    synth_mp4,
+)
+
+
+def test_mp3_roundtrip_closed_forms():
+    for n, bi, ri, id3 in [(3, 1, 0, None), (8, 14, 1, 0), (5, 9, 2, 200)]:
+        data = synth_mp3(n, bi, ri, id3_size=id3)
+        d = mp3_info(data)
+        kbps = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)[bi]
+        rate = (44100, 48000, 32000)[ri]
+        assert d == {
+            "bitrate_kbps": kbps,
+            "sample_rate": rate,
+            "n_frames": n,
+            "duration_us": n * 1152 * 1_000_000 // rate,
+            "n_bytes": n * (144_000 * kbps // rate),
+            "has_id3": 0 if id3 is None else 1,
+            "is_cbr": 1,
+        }
+
+
+def test_mp3_vbr_truncation_and_garbage():
+    cbr = synth_mp3(4, 9, 0)
+    flen = 144_000 * 128 // 44100
+    # splice a 192kbps frame after two 128kbps frames -> VBR, 3 frames read
+    vbr = cbr[: 2 * flen] + synth_mp3(1, 11, 0) + b"\xde\xad"
+    d = mp3_info(vbr)
+    assert d["n_frames"] == 3 and d["is_cbr"] == 0 and d["bitrate_kbps"] == 128
+    # truncated mid-frame: only the complete frames count
+    assert mp3_info(cbr[: 2 * flen + 10])["n_frames"] == 2
+    assert mp3_info(b"") is None and mp3_info(b"\xff\xfb") is None
+    assert mp3_info(b"ID3\x04\x00\x00\x00\x00\x00\x05hello") is None
+
+
+def test_mp4_roundtrip_and_malformed():
+    m = synth_mp4(width=640, height=480, timescale=90000, duration=450000, n_samples=30)
+    assert mp4_info(m) == {
+        "brand": "isom",
+        "timescale": 90000,
+        "duration_us": 5_000_000,
+        "n_tracks": 1,
+        "width": 640,
+        "height": 480,
+        "n_samples": 30,
+    }
+    # walker never raises and never needs mdat: drop the trailing mdat box
+    moov_only = m[: m.find(b"mdat") - 4]
+    assert mp4_info(moov_only)["n_samples"] == 30
+    assert mp4_info(b"") is None
+    assert mp4_info(b"\x00\x00\x00\x08free") is None  # no moov
+    assert mp4_info(m[:40]) is None
+
+
+def test_mp4_largesize_box_and_unknown_boxes():
+    m = synth_mp4(width=32, height=32, timescale=600, duration=600, n_samples=2)
+    # rewrite mdat with a 64-bit largesize header; prepend an unknown box
+    i = m.find(b"mdat") - 4
+    body = m[i + 8 :]
+    large = (
+        (1).to_bytes(4, "big")
+        + b"mdat"
+        + (16 + len(body)).to_bytes(8, "big")
+        + body
+    )
+    junk = (16).to_bytes(4, "big") + b"skip" + b"\x00" * 8
+    d = mp4_info(junk + m[:i] + large)
+    assert d is not None and d["width"] == 32 and d["n_samples"] == 2
+
+
+def test_spark_mp3_mp4_end_to_end(spark):
+    from html_parser_spark.operators.multimodal import (
+        attach_mp3,
+        attach_mp4,
+        mp3_frame_stats,
+        mp4_box_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    got3 = {r.doc_id: r for r in mp3_frame_stats(attach_mp3(docs)).collect()}
+    got4 = {r.doc_id: r for r in mp4_box_stats(attach_mp4(docs)).collect()}
+    assert len(got3) == len(got4) == 20
+    for i in range(20):
+        b3 = hashlib.md5(f"doc text {i}mp3".encode()).digest()
+        r3 = got3[str(i)]
+        assert r3.outcome == "parsed"
+        assert r3.n_frames == 3 + b3[0] % 6
+        assert r3.has_id3 == b3[3] % 2
+        b4 = hashlib.md5(f"doc text {i}mp4".encode()).digest()
+        r4 = got4[str(i)]
+        assert r4.outcome == "parsed"
+        assert (r4.width, r4.height) == (16 * (1 + b4[0] % 40), 16 * (1 + b4[1] % 30))
+        scale = (600, 1000, 90000)[b4[2] % 3]
+        assert r4.duration_us == (100 + 10 * b4[3]) * 1_000_000 // scale
