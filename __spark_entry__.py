@@ -40,6 +40,9 @@ from pyspark.sql import functions as F
 
 from html_parser_spark.functions import dedup as DD
 from html_parser_spark.functions import joins as JN
+from html_parser_spark.functions.clustering import (
+    kmeans_oracle_sql as _kmeans_oracle_sql,
+)
 from html_parser_spark.functions import similarity as SIM
 from html_parser_spark.functions import sketch as SK
 from html_parser_spark.functions import text as TXT
@@ -303,6 +306,17 @@ def q_embedding_quantize(spark, sf_dir):
 
 def q_similarity_quantized(spark, sf_dir):
     return SIM.quantized_topk(_embs(spark, sf_dir))
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Fixed-round Lloyd k-means over the embedding corpus
+    (functions/clustering.py): the ITERATIVE-algorithm shape with a FULL
+    bit-exact SQL oracle (quantized integer-valued doubles + left-fold
+    distances + (dist, cid) tie-breaks — see module docstring). k=8
+    broadcast centroids, map-side per-dim-sum updates, 2 rounds."""
+    from html_parser_spark.functions.clustering import kmeans_assign
+
+    return kmeans_assign(_embs(spark, sf_dir))
 
 
 def q_transform_plugins(spark, sf_dir):
@@ -795,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf,
         "embedding_quantize": q_embedding_quantize,
         "similarity_quantized_topk": q_similarity_quantized,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "transform_plugins": q_transform_plugins,
         "parse_nodes": q_parse_nodes,
         "parse_attrs": q_parse_attrs,
@@ -1425,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, qcos
             FROM r WHERE rk <= 5
         """,
+        "kmeans_embeddings": _kmeans_oracle_sql(),
         "similarity_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS q_emb

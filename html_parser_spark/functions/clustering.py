@@ -1,0 +1,157 @@
+"""Distributed k-means over the embedding corpus — the ITERATIVE-algorithm
+shape (fixed-round Lloyd iterations) expressed as pure DataFrame ops, with
+every arithmetic step engine-portable so an ANSI-SQL oracle reproduces the
+assignments BIT-EXACTLY (most engines can only property-test k-means; this
+one is gate-hashable).
+
+Determinism recipe (each step is exact or a single IEEE op):
+  1. coordinates quantize to integer-VALUED doubles: round(x * 1000) —
+     f32->f64 is exact, one IEEE multiply, one tie-away-from-zero round
+     (identical in Spark and DuckDB).
+  2. centroid update sums integer-valued doubles — every partial sum is
+     exact (magnitudes << 2^53), so Spark's partition-order-dependent SUM
+     equals any other order; the mean is ONE division of exact inputs.
+  3. distance is a LEFT FOLD of (x-c)^2 over the 64 dims (aggregate/
+     zip_with on Spark, list_reduce/list_transform in the oracle) — the
+     identical operation sequence, hence identical last-ulp results.
+  4. argmin tie-breaks on (dist, cid) — total order, no engine choice.
+
+Scale posture: seeds/centroids are k rows — BROADCAST to the assignment
+step (a map-side nested loop of k distance folds per row, no shuffle of
+the corpus); the update is a map-side-combinable groupBy(cid) over 64
+per-dim sums (k x 64 numbers of state per executor). Per iteration the
+corpus is read once and shuffles only the k x 64 partials + one window
+pass for the argmin. Fixed iteration count keeps the plan finite (lineage
+grows per round — at production depth, localCheckpoint per round like
+functions/dedup.connected_components). Seeds are the first k vec_ids
+(deterministic); k-means|| sampling would slot in as a seed provider.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K_DEFAULT = 8
+SCALE = 1000.0
+
+SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, c) -> (x - c) * (x - c)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def quantized_vectors(embs: DataFrame, col: str = "embedding") -> DataFrame:
+    """(vec_id, codes array<double>) with integer-valued coordinates
+    round(x * 1000) — the exactness foundation (module docstring #1)."""
+    return embs.select(
+        "vec_id",
+        F.expr(
+            f"transform({col}, x -> round(cast(x as double) * {SCALE}d))"
+        ).alias("codes"),
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast the k centroids, fold the
+    distance JVM-side, argmin by (dist, cid)."""
+    pairs = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", F.expr(SQDIST.format(a="codes", b="cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select("vec_id", "codes", "cid", "dist")
+    )
+
+
+def _update(assigned: DataFrame, seeds: DataFrame, dim: int) -> DataFrame:
+    """New centroids = per-dim mean of members (exact-int sums, one
+    division); clusters that lost every member keep their previous
+    centroid (deterministic, mirrors the oracle's LEFT JOIN)."""
+    sums = assigned.groupBy("cid").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.element_at("codes", d + 1)).alias(f"s{d}")
+            for d in range(dim)
+        ],
+    )
+    new_cent = sums.select(
+        "cid",
+        F.array(
+            *[F.col(f"s{d}") / F.col("n").cast("double") for d in range(dim)]
+        ).alias("new_cent"),
+    )
+    return seeds.join(new_cent, on="cid", how="left").select(
+        "cid", F.coalesce("new_cent", "cent").alias("cent")
+    )
+
+
+def kmeans_assign(
+    embs: DataFrame, k: int = K_DEFAULT, n_iter: int = 2, dim: int = 64
+) -> DataFrame:
+    """Fixed-round Lloyd k-means; returns the FINAL assignment
+    (vec_id, cluster int, dist double) after `n_iter` update rounds —
+    dist is the squared distance in the quantized (x1000) space."""
+    vecs = quantized_vectors(embs)
+    cents = vecs.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("codes").alias("cent")
+    )
+    for _ in range(n_iter):
+        assigned = _assign(vecs, cents)
+        cents = _update(assigned, cents, dim)
+    final = _assign(vecs, cents)
+    return final.select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )
+
+
+def kmeans_oracle_sql(k: int = K_DEFAULT, n_iter: int = 2, dim: int = 64) -> str:
+    """DuckDB mirror of kmeans_assign (same ops in the same order)."""
+    sq = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, v) -> acc + v)"
+    )
+    sums = ", ".join(f"SUM(codes[{d + 1}]) AS s{d}" for d in range(dim))
+    means = ", ".join(f"m.s{d} / CAST(m.n AS DOUBLE)" for d in range(dim))
+    sql = f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * {SCALE}e0)) AS codes
+          FROM embeddings
+        ), c0 AS (
+          SELECT CAST(vec_id AS INTEGER) AS cid, codes AS cent
+          FROM v WHERE vec_id < {k}
+        )"""
+    prev = "c0"
+    for it in range(n_iter):
+        d = sq.format(a="v.codes", b="c.cent")
+        sql += f""", a{it} AS (
+          SELECT * FROM (
+            SELECT v.vec_id, v.codes, c.cid, {d} AS dist,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {d}, c.cid) AS rk
+            FROM v, {prev} c
+          ) WHERE rk = 1
+        ), m{it} AS (
+          SELECT cid, COUNT(*) AS n, {sums} FROM a{it} GROUP BY cid
+        ), c{it + 1} AS (
+          SELECT s.cid,
+                 CASE WHEN m.cid IS NULL THEN s.cent
+                      ELSE [{means}] END AS cent
+          FROM {prev} s LEFT JOIN m{it} m USING (cid)
+        )"""
+        prev = f"c{it + 1}"
+    d = sq.format(a="v.codes", b="c.cent")
+    sql += f"""
+        SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist FROM (
+          SELECT v.vec_id, c.cid, {d} AS dist,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {d}, c.cid) AS rk
+          FROM v, {prev} c
+        ) WHERE rk = 1
+    """
+    return sql
