@@ -308,6 +308,24 @@ def q_similarity_quantized(spark, sf_dir):
     return SIM.quantized_topk(_embs(spark, sf_dir))
 
 
+def q_sketch_countmin(spark, sf_dir):
+    """Count-Min frequency sketch over every word occurrence in the
+    corpus (functions/sketch.countmin_cells/estimate): d=4 rows x 16
+    buckets, estimate = min over rows, probes = the top-20 exact terms.
+    w=16 against the 31-term vocabulary forces real collisions, so the
+    gate pins the OVERestimates too, not just the happy path."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.selectExpr("explode(split(text, ' ')) as term").where(
+        "term <> ''"
+    )
+    cells = SK.countmin_cells(terms, "term")
+    exact = terms.groupBy("term").agg(
+        F.expr("cast(count(*) as bigint)").alias("exact")
+    )
+    probes = exact.orderBy(F.desc("exact"), "term").limit(20)
+    return SK.countmin_estimate(cells, probes)
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """Fixed-round Lloyd k-means over the embedding corpus
     (functions/clustering.py): the ITERATIVE-algorithm shape with a FULL
@@ -810,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "similarity_quantized_topk": q_similarity_quantized,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "sketch_countmin_words": q_sketch_countmin,
         "transform_plugins": q_transform_plugins,
         "parse_nodes": q_parse_nodes,
         "parse_attrs": q_parse_attrs,
@@ -1441,6 +1460,35 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rk <= 5
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "sketch_countmin_words": """
+            WITH t AS (
+              SELECT unnest(string_split(text, ' ')) AS term FROM documents
+            ), tt AS (
+              SELECT term FROM t WHERE term <> ''
+            ), occ AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS exact
+              FROM tt GROUP BY term
+            ), hr AS (
+              SELECT unnest([0, 1, 2, 3]) AS i
+            ), cells AS (
+              SELECT hr.i AS hrow,
+                     CAST('0x' || substr(md5(term || '#' || hr.i), 1, 1)
+                          AS INTEGER) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tt CROSS JOIN hr GROUP BY 1, 2
+            ), probes AS (
+              SELECT term, exact FROM occ ORDER BY exact DESC, term LIMIT 20
+            )
+            SELECT p.term, p.exact,
+                   CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+            FROM probes p
+            CROSS JOIN hr
+            LEFT JOIN cells c
+              ON c.hrow = hr.i
+             AND c.bucket = CAST('0x' || substr(md5(p.term || '#' || hr.i),
+                                 1, 1) AS INTEGER)
+            GROUP BY 1, 2
+        """,
         "similarity_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS q_emb

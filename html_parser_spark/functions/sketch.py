@@ -135,3 +135,68 @@ def hll_distinct(
         join_on = groups if groups else None
         out = out.join(exact, on=join_on) if join_on else out.crossJoin(exact)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — additive frequency estimation
+# ---------------------------------------------------------------------------
+# The other fixed-state profiling primitive: d x w counters, increment at
+# (i, hash_i(key)) per occurrence, estimate = min over rows. Counters are
+# SUMS, so the sketch is map-side combinable and merge = add — the 100 TB
+# shape (state is d*w cells per executor regardless of input size; the
+# shuffle carries <= d*w rows). Every cell derives from md5, so the oracle
+# rebuilds the sketch cell-for-cell and the gate compares exactly —
+# including the OVERestimates where buckets collide (overestimate-only is
+# the CM guarantee; with w=16 the gate corpus actually collides).
+
+CM_D = 4
+
+
+def _cm_bucket(term: str, row: str, hex_chars: int) -> str:
+    """Bucket of `term` under hash row `row` (md5-derived, 16^hex_chars
+    buckets; row index is salted into the hash input)."""
+    return (
+        f"cast(conv(substr(md5(concat({term}, '#', {row})), 1, {hex_chars}), "
+        "16, 10) as int)"
+    )
+
+
+def countmin_cells(
+    df: DataFrame, term_expr: str, d: int = CM_D, hex_chars: int = 1
+) -> DataFrame:
+    """Build the sketch: (hrow int, bucket int, cnt bigint), one increment
+    per input ROW (occurrence counting — pre-aggregate upstream for
+    distinct counting). d*16^hex_chars cells max."""
+    buckets = (
+        f"transform(sequence(0, {d - 1}), "
+        f"i -> {_cm_bucket('_t', 'i', hex_chars)})"
+    )
+    return (
+        df.selectExpr(f"{term_expr} as _t")
+        .selectExpr(f"posexplode({buckets}) as (hrow, bucket)")
+        .groupBy("hrow", "bucket")
+        .agg(F.expr("cast(count(*) as bigint)").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    term_col: str = "term",
+    d: int = CM_D,
+    hex_chars: int = 1,
+) -> DataFrame:
+    """Estimate each probe term's count: min over the d cells it hashes
+    to. The tiny probe side fans out to d rows and joins the (broadcast)
+    sketch — the corpus is never touched again."""
+    p = probes.selectExpr(
+        f"{term_col} as term",
+        *[c for c in probes.columns if c != term_col],
+        f"posexplode(transform(sequence(0, {d - 1}), "
+        f"i -> {_cm_bucket(term_col, 'i', hex_chars)})) as (hrow, bucket)",
+    )
+    joined = p.join(F.broadcast(cells), on=["hrow", "bucket"], how="left")
+    keep = [c for c in probes.columns if c != term_col]
+    return joined.groupBy("term", *keep).agg(
+        F.expr("cast(min(coalesce(cnt, 0)) as bigint)").alias("est")
+    )

@@ -61,3 +61,46 @@ def test_hll_partial_aggregation_in_plan(spark):
     )
     # stage-1 max(rho) must run map-side (partial_max before the Exchange)
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def _cm_mirror(occurrences, probes, d=4, w_hex=1):
+    cells = {}
+    for t in occurrences:
+        h_all = [
+            int(hashlib.md5(f"{t}#{i}".encode()).hexdigest()[:w_hex], 16)
+            for i in range(d)
+        ]
+        for i, b in enumerate(h_all):
+            cells[(i, b)] = cells.get((i, b), 0) + 1
+    out = {}
+    for t in probes:
+        out[t] = min(
+            cells.get(
+                (i, int(hashlib.md5(f"{t}#{i}".encode()).hexdigest()[:w_hex], 16)),
+                0,
+            )
+            for i in range(d)
+        )
+    return out
+
+
+def test_countmin_matches_mirror_and_overestimates(spark):
+    from collections import Counter
+
+    words = (["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 10
+             + [f"w{i}" for i in range(40) for _ in (0, 1)])
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    cells = SK.countmin_cells(df, "term")
+    exact = Counter(words)
+    probes = spark.createDataFrame(
+        [(t, c) for t, c in exact.items()], "term string, exact long"
+    )
+    got = {r.term: r for r in SK.countmin_estimate(cells, probes).collect()}
+    mirror = _cm_mirror(words, list(exact))
+    assert set(got) == set(exact)
+    for t, c in exact.items():
+        assert got[t].est == mirror[t]  # cell-exact vs the Python mirror
+        assert got[t].est >= c  # the CM guarantee: never underestimates
+    # with 43 terms in 16 buckets collisions are forced: some term must
+    # genuinely overestimate, or the test is vacuous
+    assert any(got[t].est > c for t, c in exact.items())
