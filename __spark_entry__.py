@@ -773,6 +773,103 @@ def q_events_error_burst(spark, sf_dir):
     )
 
 
+def q_events_rolling(spark, sf_dir):
+    """Rolling-window analytics: per user, trailing-10-event sum of value
+    (integer cents — exact) plus the in-window count. ONE Exchange on
+    user_id; the frame is rows-based so state is O(10) per row."""
+    from pyspark.sql import Window
+
+    ev = _events_utc(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum(cents).over(w).cast("bigint").alias("roll_cents"),
+        F.count("*").over(w).cast("int").alias("n_in_window"),
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: hourly event counts spread into one column per event type
+    (Spark relational pivot; oracle = conditional aggregation). Missing
+    cells are 0, not null, so the surface is total."""
+    ev = _events_utc(spark, sf_dir).withColumn(
+        "hour_str", F.expr("substr(cast(ts as string), 1, 13)")
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("hour_str").pivot("event_type", types).count()
+    return piv.select(
+        "hour_str",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP totals: (event_type, day) -> per-day, per-type subtotals and
+    the grand total in one pass (partial-aggregatable grouping sets).
+    NULL grouping markers are coalesced to '<all>' so both engines emit
+    identical label rows."""
+    ev = _events_utc(spark, sf_dir).withColumn(
+        "day_str", F.expr("substr(cast(ts as string), 1, 10)")
+    )
+    return (
+        ev.rollup("event_type", "day_str")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)").alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day_str", F.lit("<all>")).alias("day_str"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    """EXACT order-statistic quantiles per event type (median as the sum
+    of the two middle elements — stays integer — and the p90 element).
+    Deterministic tie-break by event_id; no interpolation formula to
+    drift between engines. One Exchange; the rank pass and the aggregate
+    share the event_type partitioning."""
+    from pyspark.sql import Window
+
+    ev = _events_utc(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return ranked.groupBy("event_type").agg(
+        F.expr("cast(max(n) as bigint)").alias("n"),
+        F.expr(
+            "cast(sum(case when rk = (n + 1) div 2 then cents else 0 end) + "
+            "sum(case when rk = (n + 2) div 2 then cents else 0 end) "
+            "as bigint)"
+        ).alias("med_cents_x2"),
+        F.expr(
+            "cast(max(case when rk = (9 * n + 9) div 10 then cents end) "
+            "as bigint)"
+        ).alias("p90_cents"),
+    )
+
+
 def q_sketch_hll_users(spark, sf_dir):
     """Deterministic HLL distinct users per event type (functions/sketch.py
     — md5-derived registers, integer-exact fold, O(256) state per group;
@@ -852,6 +949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof_attribution": q_events_asof,
         "events_error_burst": q_events_error_burst,
+        "events_rolling_value": q_events_rolling,
+        "events_pivot_hourly": q_events_pivot,
+        "events_rollup_totals": q_events_rollup,
+        "events_quantiles": q_events_quantiles,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_hll_user_minutes": q_sketch_hll_user_minutes,
     }
@@ -1981,6 +2082,64 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id
              AND epoch_us(l.ts) - epoch_us(r.ts) BETWEEN 0 AND 120000000
             GROUP BY 1, 2, 3
+        """,
+        "events_rolling_value": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll_cents,
+                   CAST(COUNT(*)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                        AS INTEGER) AS n_in_window
+            FROM events
+        """,
+        "events_pivot_hourly": """
+            SELECT substr(CAST(ts AS VARCHAR), 1, 13) AS hour_str,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY 1
+        """,
+        "events_rollup_totals": """
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   COALESCE(day_str, '<all>') AS day_str,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM (SELECT event_type,
+                         substr(CAST(ts AS VARCHAR), 1, 10) AS day_str,
+                         value
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day_str)
+        """,
+        "events_quantiles": """
+            WITH e AS (
+              SELECT event_type, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents, event_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM e
+            )
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN rk = (n + 1) // 2 THEN cents ELSE 0 END)
+                      + SUM(CASE WHEN rk = (n + 2) // 2 THEN cents ELSE 0 END)
+                        AS BIGINT) AS med_cents_x2,
+                   CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN cents END)
+                        AS BIGINT) AS p90_cents
+            FROM r GROUP BY 1
         """,
         "sketch_hll_users": _hll_oracle("CAST(user_id AS VARCHAR)"),
         "sketch_hll_user_minutes": _hll_oracle(
