@@ -326,6 +326,50 @@ def q_sketch_countmin(spark, sf_dir):
     return SK.countmin_estimate(cells, probes)
 
 
+_BLOOM_W = "split(text, ' ')"
+_BLOOM_BIGRAMS = (
+    f"zip_with({_BLOOM_W}, slice({_BLOOM_W}, 2, greatest(size({_BLOOM_W}) - 1, 0)), "
+    "(x, y) -> concat(x, ' ', y))"
+)
+_BLOOM_TRIGRAMS = (
+    f"filter(zip_with({_BLOOM_BIGRAMS}, "
+    f"slice({_BLOOM_W}, 3, greatest(size({_BLOOM_W}) - 2, 0)), "
+    "(xy, z) -> concat(xy, ' ', z)), s -> s is not null)"
+)
+
+
+def q_sketch_bloom(spark, sf_dir):
+    """Bloom-filter membership pruning (functions/sketch.bloom_build/
+    probe): the reference set (trigram shingles of every 200th doc) folds
+    into 16 int64 words that BROADCAST to the probe side — the shuffle
+    join becomes a map-side test. The gate pins the probe counts AND the
+    exact-join counts, so the false-positive excess is verified
+    cell-for-cell, not just bounded. Trigrams via zip_with-over-slices
+    (the O(n^2) lambda-index trap does not apply — CLAUDE.md)."""
+    docs = _docs(spark, sf_dir)
+    tri = docs.selectExpr(
+        "doc_id", f"explode(array_distinct({_BLOOM_TRIGRAMS})) as g"
+    )
+    bench = tri.where("doc_id % 200 = 0").select("g").distinct()
+    bloom = SK.bloom_build(bench, "g")
+    probed = SK.bloom_probe(tri, "g", bloom)
+    per_doc = probed.groupBy("doc_id").agg(
+        F.expr("cast(count(*) as int)").alias("n_shingles"),
+        F.expr("cast(sum(bloom_hit) as int)").alias("n_bloom_hits"),
+    )
+    exact = (
+        tri.join(bench, on="g", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.expr("cast(count(*) as int)").alias("n_exact"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .join(exact, on="doc_id", how="left")
+        .na.fill({"n_shingles": 0, "n_bloom_hits": 0, "n_exact": 0})
+    )
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """Fixed-round Lloyd k-means over the embedding corpus
     (functions/clustering.py): the ITERATIVE-algorithm shape with a FULL
@@ -926,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_quantized_topk": q_similarity_quantized,
         "kmeans_embeddings": q_kmeans_embeddings,
         "sketch_countmin_words": q_sketch_countmin,
+        "sketch_bloom_decontaminate": q_sketch_bloom,
         "transform_plugins": q_transform_plugins,
         "parse_nodes": q_parse_nodes,
         "parse_attrs": q_parse_attrs,
@@ -1561,6 +1606,57 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rk <= 5
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "sketch_bloom_decontaminate": """
+            WITH wd AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                              END) AS g
+                FROM wd
+              )
+            ), bench AS (
+              SELECT DISTINCT g FROM sh WHERE doc_id % 200 = 0
+            ), hr AS (
+              SELECT unnest([0, 1, 2, 3]) AS i
+            ), bloom AS (
+              SELECT p // 60 AS word_idx, bit_or(1::BIGINT << (p % 60)) AS bits
+              FROM (
+                SELECT CAST('0x' || substr(md5(g || '@' || hr.i), 1, 3)
+                            AS INTEGER) % 960 AS p
+                FROM bench CROSS JOIN hr
+              ) GROUP BY 1
+            ), probe AS (
+              SELECT s.doc_id, s.g,
+                     CAST('0x' || substr(md5(s.g || '@' || hr.i), 1, 3)
+                          AS INTEGER) % 960 AS p
+              FROM sh s CROSS JOIN hr
+            ), pb AS (
+              SELECT doc_id, g,
+                     SUM(CASE WHEN b.bits IS NOT NULL
+                              AND ((b.bits >> (p.p % 60)) % 2) != 0
+                         THEN 1 ELSE 0 END) AS nh
+              FROM probe p LEFT JOIN bloom b ON b.word_idx = p.p // 60
+              GROUP BY 1, 2
+            ), hits AS (
+              SELECT doc_id, COUNT(*) AS n_shingles,
+                     SUM(CASE WHEN nh = 4 THEN 1 ELSE 0 END) AS n_bloom
+              FROM pb GROUP BY 1
+            ), ex AS (
+              SELECT s.doc_id, COUNT(*) AS n_exact
+              FROM sh s JOIN bench b USING (g) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_shingles, 0) AS INTEGER) AS n_shingles,
+                   CAST(COALESCE(h.n_bloom, 0) AS INTEGER) AS n_bloom_hits,
+                   CAST(COALESCE(e.n_exact, 0) AS INTEGER) AS n_exact
+            FROM documents d
+            LEFT JOIN hits h ON d.doc_id = h.doc_id
+            LEFT JOIN ex e ON d.doc_id = e.doc_id
+        """,
         "sketch_countmin_words": """
             WITH t AS (
               SELECT unnest(string_split(text, ' ')) AS term FROM documents

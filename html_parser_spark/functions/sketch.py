@@ -200,3 +200,74 @@ def countmin_estimate(
     return joined.groupBy("term", *keep).agg(
         F.expr("cast(min(coalesce(cnt, 0)) as bigint)").alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — broadcastable set membership
+# ---------------------------------------------------------------------------
+# The third fixed-state primitive: k md5-derived bit positions per key,
+# bit_or-folded into a handful of int64 words. bit_or is commutative and
+# duplicate-absorbing, so the build is map-side combinable and the whole
+# filter is O(words) bytes — it BROADCASTS, turning "which corpus rows hit
+# this reference set" from a shuffle join into a map-side probe (false
+# positives only, never false negatives; the gate pins both counts against
+# the exact join). 60 bits per word, not 64: DuckDB's `<<` raises on a
+# 63-bit shift, and the oracle must rebuild the words bit-for-bit.
+
+BLOOM_K = 4
+BLOOM_BITS = 60
+BLOOM_WORDS = 16
+BLOOM_M = BLOOM_BITS * BLOOM_WORDS  # 960 positions
+
+
+def _bloom_pos(key: str, row: str) -> str:
+    """Bit position (0..M-1) of `key` under hash row `row`."""
+    return (
+        f"pmod(cast(conv(substr(md5(concat({key}, '@', {row})), 1, 3), "
+        f"16, 10) as int), {BLOOM_M})"
+    )
+
+
+def bloom_build(df: DataFrame, key_expr: str) -> DataFrame:
+    """Fold a key column into the filter: (word_idx int, bits bigint),
+    <= BLOOM_WORDS rows."""
+    positions = (
+        f"transform(sequence(0, {BLOOM_K - 1}), "
+        f"i -> {_bloom_pos('_k', 'i')})"
+    )
+    return (
+        df.selectExpr(f"{key_expr} as _k")
+        .selectExpr(f"explode({positions}) as pos")
+        .selectExpr(
+            f"cast(pos div {BLOOM_BITS} as int) as word_idx",
+            f"shiftleft(cast(1 as bigint), pos % {BLOOM_BITS}) as bit",
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+    """Per input row: `bloom_hit` = 1 iff ALL k bits of `key_col` are set
+    (possible false positive, never a false negative). The filter joins
+    BROADCAST on word_idx — the probe side never shuffles."""
+    positions = (
+        f"posexplode(transform(sequence(0, {BLOOM_K - 1}), "
+        f"i -> {_bloom_pos(key_col, 'i')})) as (hrow, pos)"
+    )
+    p = df.selectExpr(*df.columns, positions).selectExpr(
+        *df.columns,
+        f"cast(pos div {BLOOM_BITS} as int) as word_idx",
+        f"pos % {BLOOM_BITS} as bit",
+    )
+    joined = p.join(F.broadcast(bloom), on="word_idx", how="left")
+    hit = "case when bits is not null and (shiftright(bits, bit) % 2) != 0 then 1 else 0 end"
+    return (
+        joined.selectExpr(*df.columns, f"{hit} as _h")
+        .groupBy(*df.columns)
+        .agg(
+            F.expr(f"cast(case when sum(_h) = {BLOOM_K} then 1 else 0 end as int)").alias(
+                "bloom_hit"
+            )
+        )
+    )

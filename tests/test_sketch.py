@@ -104,3 +104,36 @@ def test_countmin_matches_mirror_and_overestimates(spark):
     # with 43 terms in 16 buckets collisions are forced: some term must
     # genuinely overestimate, or the test is vacuous
     assert any(got[t].est > c for t, c in exact.items())
+
+
+def _bloom_mirror(build_keys, probe_keys, k=4, m=960, bits=60):
+    words = {}
+    def positions(t):
+        return [
+            int(hashlib.md5(f"{t}@{i}".encode()).hexdigest()[:3], 16) % m
+            for i in range(k)
+        ]
+    for t in build_keys:
+        for p in positions(t):
+            words[p // bits] = words.get(p // bits, 0) | (1 << (p % bits))
+    return {
+        t: int(all((words.get(p // bits, 0) >> (p % bits)) & 1 for p in positions(t)))
+        for t in probe_keys
+    }
+
+
+def test_bloom_no_false_negatives_and_mirror_exact(spark):
+    members = [f"key-{i}" for i in range(150)]
+    outsiders = [f"other-{i}" for i in range(200)]
+    bloom = SK.bloom_build(
+        spark.createDataFrame([(t,) for t in members], "g string"), "g"
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in members + outsiders], "g string"
+    )
+    got = {r.g: r.bloom_hit for r in SK.bloom_probe(probes, "g", bloom).collect()}
+    mirror = _bloom_mirror(members, members + outsiders)
+    assert got == mirror  # word-for-word identical to the Python fold
+    assert all(got[t] == 1 for t in members)  # never a false negative
+    fp = sum(got[t] for t in outsiders)
+    assert 0 < fp < len(outsiders)  # collisions happen, but not saturation
