@@ -278,6 +278,100 @@ def main() -> int:
         ],
     )
 
+    audit(
+        "events_asof_attribution",
+        qs["events_asof_attribution"](spark, sf_dir),
+        [
+            ("single exchange: the union-window as-of plan shuffles once on "
+             "user_id (no join, no pair blowup)",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+             and "hashpartitioning(user_id" in p),
+        ],
+    )
+
+    audit(
+        "events_error_burst",
+        qs["events_error_burst"](spark, sf_dir),
+        [
+            ("banded range join is a real equi-join, never a nested-loop/"
+             "cartesian fallback",
+             lambda p: "NestedLoop" not in p and "CartesianProduct" not in p
+             and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                  or "BroadcastHashJoin" in p)),
+            ("bounded fan-out: the only row amplification is the 2-band "
+             "Generate on the right side",
+             lambda p: p.count("Generate explode") <= 2),
+        ],
+    )
+
+    audit(
+        "sketch_hll_users",
+        qs["sketch_hll_users"](spark, sf_dir),
+        [
+            ("register fold is map-side partial aggregation (executors ship "
+             "<= groups x 256 rows)", lambda p: "partial_max" in p),
+            ("scan pruned to event_type,user_id",
+             lambda p: "ReadSchema: struct<user_id:bigint,event_type:string>" in p),
+        ],
+    )
+
+    audit(
+        "sketch_countmin_words",
+        qs["sketch_countmin_words"](spark, sf_dir),
+        [
+            ("cell counts are map-side partial aggregation",
+             lambda p: "partial_count" in p or "partial_" in p),
+            ("the probe joins the d*w-cell sketch via broadcast",
+             lambda p: "BroadcastHashJoin" in p),
+        ],
+    )
+
+    audit(
+        "sketch_bloom_decontaminate",
+        qs["sketch_bloom_decontaminate"](spark, sf_dir),
+        [
+            ("the 16-word filter reaches the probe side via broadcast "
+             "(probe side never shuffles for the membership test)",
+             lambda p: "BroadcastHashJoin" in p),
+            ("bit fold is map-side partial aggregation",
+             lambda p: "partial_bit_or" in p),
+        ],
+    )
+
+    audit(
+        "kmeans_embeddings",
+        qs["kmeans_embeddings"](spark, sf_dir),
+        [
+            ("centroids broadcast to the assignment step (corpus never "
+             "shuffles for the distance join; BNLJ build side is k rows)",
+             lambda p: re.search(r"BroadcastNestedLoopJoin \w+ BuildRight", p)
+             is not None),
+            ("per-dim centroid sums are map-side partial aggregation",
+             lambda p: "partial_sum" in p),
+        ],
+    )
+
+    audit(
+        "events_quantiles",
+        qs["events_quantiles"](spark, sf_dir),
+        [
+            ("rank window, count window, and final groupBy all share ONE "
+             "event_type exchange",
+             lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+             and "hashpartitioning(event_type" in p),
+        ],
+    )
+
+    audit(
+        "similarity_quantized_topk",
+        qs["similarity_quantized_topk"](spark, sf_dir),
+        [
+            ("quantized query side broadcast (corpus codes scanned once, "
+             "never shuffled for the join)",
+             lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+        ],
+    )
+
     out = ["# Physical-plan audit (tools/plan_audit.py)\n"]
     out.append(f"sf_dir: {sf_dir}; Spark {spark.version}\n")
     for name, plan, results in checks:
