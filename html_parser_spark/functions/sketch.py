@@ -95,7 +95,21 @@ def hll_distinct(
         *groups, f"cast({reg} as int) as _reg", f"{rho} as _rho"
     ).groupBy(*groups, "_reg")
     per_reg = regs.agg(F.expr(f"least(max(_rho), {RHO_CAP})").alias("_mrho"))
+    out = fold_registers(per_reg, groups)
+    if with_exact:
+        exact = df.selectExpr(*groups, f"{key_expr} as _k").groupBy(*groups).agg(
+            F.expr("cast(count(distinct _k) as bigint)").alias("exact_distinct")
+        )
+        join_on = groups if groups else None
+        out = out.join(exact, on=join_on) if join_on else out.crossJoin(exact)
+    return out
 
+
+def fold_registers(per_reg: DataFrame, groups: Sequence[str]) -> DataFrame:
+    """Estimator stage over a (groups..., _reg, _mrho) register table —
+    shared by the batch path above and the streaming register states
+    (streaming/sketch_stream.hll_estimate_from_registers)."""
+    groups = list(groups)
     folded = per_reg.groupBy(*groups).agg(
         F.expr("cast(count(*) as int)").alias("n_reg"),
         F.expr(
@@ -128,12 +142,6 @@ def hll_distinct(
         f"ln({float(M_REG)}e0 / cast(v_zero as double)) "
         "else raw_est end) as bigint) as est_rounded",
     )
-    if with_exact:
-        exact = df.selectExpr(*groups, f"{key_expr} as _k").groupBy(*groups).agg(
-            F.expr("cast(count(distinct _k) as bigint)").alias("exact_distinct")
-        )
-        join_on = groups if groups else None
-        out = out.join(exact, on=join_on) if join_on else out.crossJoin(exact)
     return out
 
 
