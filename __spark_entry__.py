@@ -169,6 +169,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(DD.plant_dups(_docs(spark, sf_dir)))
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Cross-TABLE near-duplicate join (functions/dedup.fuzzy_join): the
+    planted copies (doc_id >= 1e6) as an 'incoming batch' fuzzy-joined
+    against the original corpus as the 'lake' — every planted exact copy
+    must match its original at 1000 permille and every near copy above
+    threshold. Same banded two-shuffle machinery as dedup_minhash_lsh;
+    bucket expansion is left-ids x right-ids only."""
+    corpus = DD.plant_dups(_docs(spark, sf_dir))
+    return DD.fuzzy_join(
+        corpus.where(f"doc_id < {DD.EXACT_OFFSET}"),
+        corpus.where(f"doc_id >= {DD.EXACT_OFFSET}"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Pairs -> duplicate clusters: transitive closure of the LSH near-dup
     pairs via alternating large-star/small-star connected components
@@ -948,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_fuzzy_join": q_fuzzy_join,
         "dedup_clusters": q_dedup_clusters,
         "dedup_chunks": q_dedup_chunks,
         "dedup_simhash": q_dedup_simhash,
@@ -1251,6 +1266,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {lsh_ctes}
             SELECT doc_a, doc_b, inter, union_sz, jacc_permille FROM lsh_pairs
+        """,
+        "dedup_fuzzy_join": f"""
+            WITH {lsh_ctes},
+            fcand AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key
+              WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+            ),
+            fvin AS (
+              SELECT c.left_id, c.right_id, COUNT(*) AS inter
+              FROM fcand c
+              JOIN sh a ON a.doc_id = c.left_id
+              JOIN sh b ON b.doc_id = c.right_id AND b.g = a.g
+              GROUP BY 1, 2
+            ),
+            fuzzy AS (
+              SELECT v.left_id, v.right_id, v.inter,
+                     sa.sz + sb.sz - v.inter AS union_sz,
+                     (1000 * v.inter) // (sa.sz + sb.sz - v.inter)
+                       AS jacc_permille
+              FROM fvin v
+              JOIN sizes sa ON sa.doc_id = v.left_id
+              JOIN sizes sb ON sb.doc_id = v.right_id
+              WHERE (1000 * v.inter) // (sa.sz + sb.sz - v.inter) >= {thr}
+            )
+            SELECT left_id, right_id, inter, union_sz, jacc_permille
+            FROM fuzzy
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {lsh_ctes},

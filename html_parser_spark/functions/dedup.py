@@ -692,3 +692,119 @@ def connected_components(
     return labels.join(sizes, "rep_doc_id").select(
         "doc_id", "rep_doc_id", "cluster_size"
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    threshold_permille: int = JACCARD_THRESHOLD_PERMILLE,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate JOIN between two corpora by text similarity — the
+    cross-TABLE face of minhash_lsh_pairs (same banded machinery, same
+    two-shuffle scale shape) for "which rows of B match rows of A"
+    questions: benchmark contamination against a training corpus, vendor
+    catalog reconciliation, incremental-ingest dedup against the lake.
+
+    Both inputs are (doc_id, text). Output: (left_id, right_id, inter,
+    union_sz, jacc_permille) for cross-corpus pairs at/above threshold —
+    pairs WITHIN one corpus are never proposed (the bucket expansion is
+    left-ids x right-ids, not all-pairs), so a table joined against a
+    small reference set does candidate work proportional to the matches,
+    not to its own near-dup structure."""
+    u = left.selectExpr("0 as side", "doc_id", "text").unionByName(
+        right.selectExpr("1 as side", "doc_id", "text")
+    )
+    garr_all = u.select(
+        "side", "doc_id", F.expr(shingle_array_expr()).alias("garr")
+    ).persist()
+    garr = garr_all.where(F.expr("size(garr) > 0"))
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(garr, g -> "
+            f"pmod({a}L * pmod(g, {MINHASH_P}L) + {b}L, {MINHASH_P}L)))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    n_bands = k // rows_per_band
+    cells = []
+    for band in range(n_bands):
+        cols = ", ".join(
+            f"mh{band * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        cells.append(f"{band}, md5(concat_ws('|', {cols}))")
+    bands = garr.select("side", "doc_id", *sig_cols).select(
+        "side",
+        "doc_id",
+        F.expr(f"stack({n_bands}, {', '.join(cells)}) as (band, key)"),
+    )
+    # one (band,key) groupBy proposes candidates; expansion is the CROSS
+    # product of the bucket's left ids x right ids only
+    pair_expr = (
+        "flatten(transform(filter(ids, x -> x.side = 0), a -> "
+        "transform(filter(ids, x -> x.side = 1), "
+        "b -> struct(a.doc_id as left_id, b.doc_id as right_id))))"
+    )
+    candidates = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("side", "doc_id")).alias("ids"))
+        .where(
+            (F.expr("size(ids)") > 1) & (F.expr("size(ids)") <= max_bucket)
+        )
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.left_id", "p.right_id")
+        .distinct()
+        .persist()
+    )
+    la = (
+        garr.where("side = 0")
+        .join(
+            F.broadcast(candidates.select(F.col("left_id").alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+        .withColumn("sz", F.expr("cast(size(garr) as bigint)"))
+        .persist()
+    )
+    rb = (
+        garr.where("side = 1")
+        .join(
+            F.broadcast(candidates.select(F.col("right_id").alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+        .withColumn("sz", F.expr("cast(size(garr) as bigint)"))
+        .persist()
+    )
+    result = (
+        candidates.join(
+            F.broadcast(la.alias("la")), F.col("left_id") == F.col("la.doc_id")
+        )
+        .join(
+            F.broadcast(rb.alias("rb")), F.col("right_id") == F.col("rb.doc_id")
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.expr(
+                "cast(size(array_intersect(la.garr, rb.garr)) as bigint)"
+            ).alias("inter"),
+            F.col("la.sz").alias("sz_a"),
+            F.col("rb.sz").alias("sz_b"),
+        )
+        .select(
+            "left_id",
+            "right_id",
+            "inter",
+            F.expr("sz_a + sz_b - inter").alias("union_sz"),
+            F.expr("div(1000 * inter, sz_a + sz_b - inter)").alias(
+                "jacc_permille"
+            ),
+        )
+        .where(F.col("jacc_permille") >= threshold_permille)
+    )
+    for cached in (garr_all, candidates, la, rb):
+        result = _unpersist_with(result, cached)
+    return result

@@ -46,3 +46,31 @@ def test_metrics_zero_when_cap_does_not_bite(spark):
     assert got["dropped_doc_slots"] == 0
     # 3 identical docs -> 3 pairs; plus the 2 planted pairs
     assert n == 5
+
+
+def test_fuzzy_join_cross_table_only(spark):
+    from html_parser_spark.functions.dedup import fuzzy_join
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    left = spark.createDataFrame(
+        [
+            (1, t),
+            (2, t + " extra"),  # near-dup of 1 WITHIN left: must not pair
+            (3, "completely different words here nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, t),                      # exact copy of 1 -> 1000 permille
+            (102, t.replace(" kappa", "")), # near copy of 1
+            (103, "unrelated corpus text with zero overlapping trigrams yes"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.left_id, r.right_id): r for r in fuzzy_join(left, right).collect()}
+    assert (1, 101) in got and got[(1, 101)].jacc_permille == 1000
+    assert (1, 102) in got and 600 <= got[(1, 102)].jacc_permille < 1000
+    # no within-table pairs, no unrelated pairs
+    assert all(l < 100 and r >= 100 for l, r in got)
+    assert not any(3 == l or r == 103 for l, r in got)
