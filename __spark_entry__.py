@@ -928,6 +928,19 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+def q_events_hist_quantiles(spark, sf_dir):
+    """Histogram quantiles (functions/sketch.histogram_quantiles): the
+    SCALE path for percentiles — additive $1 bin counts (map-side
+    combinable, merge = add, <= 1024 cells/group) instead of the exact
+    query's per-group sort; answers are bin upper edges, within one bin
+    width of q_events_quantiles' exact order statistics."""
+    return SK.histogram_quantiles(
+        _events_utc(spark, sf_dir),
+        "cast(round(value * 100) as bigint)",
+        ["event_type"],
+    )
+
+
 def q_sketch_hll_users(spark, sf_dir):
     """Deterministic HLL distinct users per event type (functions/sketch.py
     — md5-derived registers, integer-exact fold, O(256) state per group;
@@ -1013,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_hourly": q_events_pivot,
         "events_rollup_totals": q_events_rollup,
         "events_quantiles": q_events_quantiles,
+        "events_hist_quantiles": q_events_hist_quantiles,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_hll_user_minutes": q_sketch_hll_user_minutes,
     }
@@ -2279,6 +2293,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN cents END)
                         AS BIGINT) AS p90_cents
             FROM r GROUP BY 1
+        """,
+        "events_hist_quantiles": """
+            WITH b AS (
+              SELECT event_type,
+                     LEAST(CAST(CAST(round(value * 100) AS BIGINT) // 100
+                                AS INTEGER), 1023) AS bin
+              FROM events
+            ), c AS (
+              SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM b GROUP BY 1, 2
+            ), cc AS (
+              SELECT *,
+                     SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(cnt) OVER (PARTITION BY event_type) AS n
+              FROM c
+            )
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cum >= ((500 * n) + 999) // 1000
+                            THEN (bin + 1) * 100 END) AS BIGINT) AS hq500_cents,
+                   CAST(MIN(CASE WHEN cum >= ((900 * n) + 999) // 1000
+                            THEN (bin + 1) * 100 END) AS BIGINT) AS hq900_cents,
+                   CAST(MIN(CASE WHEN cum >= ((990 * n) + 999) // 1000
+                            THEN (bin + 1) * 100 END) AS BIGINT) AS hq990_cents
+            FROM cc GROUP BY 1
         """,
         "sketch_hll_users": _hll_oracle("CAST(user_id AS VARCHAR)"),
         "sketch_hll_user_minutes": _hll_oracle(

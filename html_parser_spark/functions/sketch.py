@@ -279,3 +279,57 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles — the SCALE path for percentiles
+# ---------------------------------------------------------------------------
+# The exact order-statistic query (q_events_quantiles) sorts every group —
+# correct, but a per-group sort of 10^12 rows is the thing you avoid. Bin
+# counts are ADDITIVE: one map-side-combinable groupBy builds <= n_bins
+# cells per group, merge = add, and any quantile reads off the cumulative
+# histogram with error bounded by one bin width. Fixed data-independent
+# bin edges keep it deterministic (and trivially merge-able across days/
+# partitions/clusters — the property t-digest style sketches trade away).
+
+HIST_BIN_CENTS = 100  # $1 bins
+HIST_N_BINS = 1024
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    cents_expr: str,
+    group_cols: Sequence[str],
+    permille: Sequence[int] = (500, 900, 990),
+) -> DataFrame:
+    """Per-group histogram quantiles of an integer-cents expression.
+    Output: group cols + n (bigint) + hq{p}_cents (bigint, the UPPER EDGE
+    of the bin where the p-permille order statistic falls — within one
+    bin width of the exact value). Values beyond the histogram range
+    clamp into the last bin."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    binned = df.selectExpr(
+        *groups,
+        f"least(cast(({cents_expr}) div {HIST_BIN_CENTS} as int), "
+        f"{HIST_N_BINS - 1}) as bin",
+    )
+    cells = binned.groupBy(*groups, "bin").agg(
+        F.expr("cast(count(*) as bigint)").alias("cnt")
+    )
+    wg = Window.partitionBy(*groups)
+    cum = cells.withColumn(
+        "cum",
+        F.sum("cnt").over(wg.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("n", F.sum("cnt").over(wg))
+    aggs = [F.expr("cast(max(n) as bigint)").alias("n")]
+    for p in permille:
+        target = f"(({p} * n) + 999) div 1000"
+        aggs.append(
+            F.expr(
+                f"cast(min(case when cum >= {target} then "
+                f"cast((bin + 1) * {HIST_BIN_CENTS} as bigint) end) as bigint)"
+            ).alias(f"hq{p}_cents")
+        )
+    return cum.groupBy(*groups).agg(*aggs)

@@ -137,3 +137,33 @@ def test_bloom_no_false_negatives_and_mirror_exact(spark):
     assert all(got[t] == 1 for t in members)  # never a false negative
     fp = sum(got[t] for t in outsiders)
     assert 0 < fp < len(outsiders)  # collisions happen, but not saturation
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    import math
+
+    rows = [("g", i, float(v)) for i, v in enumerate(
+        [x * 0.37 for x in range(500)]  # cents 0..18463
+    )]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = SK.histogram_quantiles(
+        df, "cast(round(value * 100) as bigint)", ["event_type"]
+    ).collect()[0]
+    cents = sorted(round(v * 100) for _, _, v in rows)
+    n = len(cents)
+    assert got.n == n
+    for p, col in ((500, got.hq500_cents), (900, got.hq900_cents), (990, got.hq990_cents)):
+        exact = cents[math.ceil(p * n / 1000) - 1]
+        assert exact < col <= exact + 2 * SK.HIST_BIN_CENTS  # upper edge bound
+        assert col % SK.HIST_BIN_CENTS == 0
+
+
+def test_histogram_quantiles_clamps_overflow_bin(spark):
+    df = spark.createDataFrame(
+        [("g", i, 5000.0) for i in range(10)],  # 500000 cents >> range
+        "event_type string, event_id long, value double",
+    )
+    got = SK.histogram_quantiles(
+        df, "cast(round(value * 100) as bigint)", ["event_type"]
+    ).collect()[0]
+    assert got.hq500_cents == SK.HIST_N_BINS * SK.HIST_BIN_CENTS  # last bin edge
