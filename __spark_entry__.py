@@ -928,6 +928,20 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+def q_layout_zorder(spark, sf_dir):
+    """Z-order layout stats (functions/zorder.py): Morton-interleave
+    (user_id, value_cents), slice the sorted table into 16 buckets, emit
+    each bucket's min/max on BOTH dims — the footer stats that drive file
+    pruning. The unit test asserts the pruning win vs a one-column sort;
+    the gate pins keys/buckets/stats bit-for-bit."""
+    from html_parser_spark.functions import zorder as ZO
+
+    ev = _events_utc(spark, sf_dir).selectExpr(
+        "user_id", "cast(round(value * 100) as bigint) as cents", "event_id"
+    )
+    return ZO.zorder_bucket_stats(ev, "user_id", "cents", "event_id")
+
+
 def q_events_hist_quantiles(spark, sf_dir):
     """Histogram quantiles (functions/sketch.histogram_quantiles): the
     SCALE path for percentiles — additive $1 bin counts (map-side
@@ -1027,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_totals": q_events_rollup,
         "events_quantiles": q_events_quantiles,
         "events_hist_quantiles": q_events_hist_quantiles,
+        "layout_zorder_stats": q_layout_zorder,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_hll_user_minutes": q_sketch_hll_user_minutes,
     }
@@ -2293,6 +2308,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN cents END)
                         AS BIGINT) AS p90_cents
             FROM r GROUP BY 1
+        """,
+        "layout_zorder_stats": """
+            WITH k AS (
+              SELECT user_id AS _a,
+                     CAST(round(value * 100) AS BIGINT) AS _b,
+                     event_id,
+                     list_reduce(list_prepend(0::BIGINT, list_transform(
+                       range(0, 16),
+                       i -> (((LEAST(user_id, 65535) >> i) & 1) << (2 * i))
+                          + (((LEAST(CAST(round(value * 100) AS BIGINT),
+                                     65535) >> i) & 1) << (2 * i + 1)))),
+                       (acc, v) -> acc + v) AS _zkey
+              FROM events
+            ), r AS (
+              SELECT _a, _b,
+                     row_number() OVER (ORDER BY _zkey, event_id) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM k
+            ), bkt AS (
+              SELECT _a, _b,
+                     CAST(((rn - 1) * 16) // n AS INTEGER) AS bucket
+              FROM r
+            )
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(_a) AS BIGINT) AS min_a,
+                   CAST(MAX(_a) AS BIGINT) AS max_a,
+                   CAST(MIN(_b) AS BIGINT) AS min_b,
+                   CAST(MAX(_b) AS BIGINT) AS max_b
+            FROM bkt GROUP BY 1
         """,
         "events_hist_quantiles": """
             WITH b AS (
