@@ -361,9 +361,12 @@ def q_sketch_bloom(spark, sf_dir):
     cell-for-cell, not just bounded. Trigrams via zip_with-over-slices
     (the O(n^2) lambda-index trap does not apply — CLAUDE.md)."""
     docs = _docs(spark, sf_dir)
+    # persisted: the trigram table feeds the filter build, the probe, AND
+    # the exact-count join — without the barrier the explode+md5 chain
+    # runs three times over the corpus
     tri = docs.selectExpr(
         "doc_id", f"explode(array_distinct({_BLOOM_TRIGRAMS})) as g"
-    )
+    ).persist()
     bench = tri.where("doc_id % 200 = 0").select("g").distinct()
     bloom = SK.bloom_build(bench, "g")
     probed = SK.bloom_probe(tri, "g", bloom)
@@ -376,12 +379,13 @@ def q_sketch_bloom(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.expr("cast(count(*) as int)").alias("n_exact"))
     )
-    return (
+    out = (
         docs.select("doc_id")
         .join(per_doc, on="doc_id", how="left")
         .join(exact, on="doc_id", how="left")
         .na.fill({"n_shingles": 0, "n_bloom_hits": 0, "n_exact": 0})
     )
+    return DD._unpersist_with(out, tri)
 
 
 def q_kmeans_embeddings(spark, sf_dir):

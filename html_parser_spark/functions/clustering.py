@@ -94,7 +94,12 @@ def kmeans_assign(
     """Fixed-round Lloyd k-means; returns the FINAL assignment
     (vec_id, cluster int, dist double) after `n_iter` update rounds —
     dist is the squared distance in the quantized (x1000) space."""
-    vecs = quantized_vectors(embs)
+    from .dedup import _unpersist_with
+
+    # persisted: every iteration's assignment pass re-reads the vectors
+    # (n_iter + 1 passes); without the cache each pass re-scans the source
+    # and re-quantizes. Released when the result is garbage-collected.
+    vecs = quantized_vectors(embs).persist()
     cents = vecs.where(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("codes").alias("cent")
     )
@@ -102,8 +107,8 @@ def kmeans_assign(
         assigned = _assign(vecs, cents)
         cents = _update(assigned, cents, dim)
     final = _assign(vecs, cents)
-    return final.select(
-        "vec_id", F.col("cid").alias("cluster"), "dist"
+    return _unpersist_with(
+        final.select("vec_id", F.col("cid").alias("cluster"), "dist"), vecs
     )
 
 
