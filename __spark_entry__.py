@@ -388,6 +388,63 @@ def q_sketch_bloom(spark, sf_dir):
     return DD._unpersist_with(out, tri)
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-round integer PageRank (functions/graph.py) over a
+    deterministic 2-out synthetic graph on the documents ids (doc i ->
+    (31i+7) mod N and (17i+3) mod N). Integer micro-units + floored
+    divisions make every round associative-exact, so the oracle replays
+    the iterations EXACTLY — same trick as kmeans_embeddings."""
+    from html_parser_spark.functions.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    n = docs.count()  # control-plane scalar (bounded, like checkpoint IO)
+    edges = docs.selectExpr(
+        "node as src",
+        f"explode(array((node * 31 + 7) % {n}, (node * 17 + 3) % {n})) as dst",
+    )
+    return pagerank(docs, edges)
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of q_graph_pagerank (same integer rounds)."""
+    sql = """
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        v AS (SELECT doc_id AS node FROM documents),
+        e AS (
+          SELECT node AS src,
+                 unnest([(node * 31 + 7) % (SELECT n FROM cnt),
+                         (node * 17 + 3) % (SELECT n FROM cnt)]) AS dst
+          FROM v
+        ),
+        dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+               FROM e GROUP BY 1),
+        p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM v)"""
+    prev = "p0"
+    for it in range(1, n_iter + 1):
+        sql += f""",
+        c{it} AS (
+          SELECT e.dst, CAST(SUM(p.pr // d.out_deg) AS BIGINT) AS s
+          FROM e JOIN dg d USING (src)
+          JOIN {prev} p ON p.node = e.src
+          GROUP BY 1
+        ),
+        p{it} AS (
+          SELECT v.node,
+                 CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT)
+                   AS pr
+          FROM v LEFT JOIN c{it} c ON c.dst = v.node
+        )"""
+        prev = f"p{it}"
+    sql += f"""
+        SELECT p.node, p.pr AS pr_micro,
+               CAST(COALESCE(i.in_deg, 0) AS INTEGER) AS in_deg
+        FROM {prev} p
+        LEFT JOIN (SELECT dst, CAST(COUNT(*) AS INTEGER) AS in_deg
+                   FROM e GROUP BY 1) i ON i.dst = p.node
+    """
+    return sql
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """Fixed-round Lloyd k-means over the embedding corpus
     (functions/clustering.py): the ITERATIVE-algorithm shape with a FULL
@@ -1015,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "similarity_quantized_topk": q_similarity_quantized,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "graph_pagerank": q_graph_pagerank,
         "sketch_countmin_words": q_sketch_countmin,
         "sketch_bloom_decontaminate": q_sketch_bloom,
         "transform_plugins": q_transform_plugins,
@@ -1682,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rk <= 5
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "graph_pagerank": _pagerank_oracle_sql(),
         "sketch_bloom_decontaminate": """
             WITH wd AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents
