@@ -372,6 +372,40 @@ def main() -> int:
         ],
     )
 
+    audit(
+        "dedup_fuzzy_join",
+        qs["dedup_fuzzy_join"](spark, sf_dir),
+        [
+            ("cross-corpus candidates come from ONE (band,key) groupBy — "
+             "no bands self-join, no cartesian",
+             lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+            ("verify sides attach via broadcast (shingle arrays never "
+             "shuffle wide)", lambda p: "BroadcastHashJoin" in p),
+        ],
+    )
+
+    audit(
+        "events_hist_quantiles",
+        qs["events_hist_quantiles"](spark, sf_dir),
+        [
+            ("bin counts are map-side partial aggregation (<= 1024 cells "
+             "per group cross the wire)", lambda p: "partial_count" in p),
+            ("scan pruned to event_type,value",
+             lambda p: "ReadSchema: struct<event_type:string,value:double>" in p),
+        ],
+    )
+
+    audit(
+        "graph_pagerank",
+        qs["graph_pagerank"](spark, sf_dir),
+        [
+            ("out-degree table joins broadcast (edge table never shuffles "
+             "for the degree attach)", lambda p: "BroadcastHashJoin" in p),
+            ("per-round contribution sums are map-side partial aggregation",
+             lambda p: "partial_sum" in p),
+        ],
+    )
+
     out = ["# Physical-plan audit (tools/plan_audit.py)\n"]
     out.append(f"sf_dir: {sf_dir}; Spark {spark.version}\n")
     for name, plan, results in checks:
