@@ -17,10 +17,18 @@ from first principles, so the Spark kernels are verified end-to-end:
   - similarity_*     : brute-force cosine top-k + hyperplane-LSH ANN. Cosines
                        are deterministic left-folds — bit-identical doubles
                        in Spark and DuckDB (verified), no tolerance needed.
-  - multimodal_meta  : binary-column metadata kernel (mapInPandas).
-  - events_hourly    : time-windowed rollup (batch form of the streaming agg).
-  - events_sessionize: gap-based sessionization (window functions: lag +
-                       running sum; 30-min inactivity gap).
+  - multimodal_*     : binary-column metadata + REAL pure-Python decodes
+                       (BMP/PNG/GIF/baseline+progressive JPEG/WAV/Y4M) and
+                       container walks (MP3 frames, MP4 boxes).
+  - events_*         : rollup, sessionize, as-of join (DuckDB native ASOF
+                       as the oracle), banded range join, rolling window,
+                       pivot, ROLLUP, exact + histogram quantiles.
+  - sketch_*         : HyperLogLog / Count-Min / Bloom with cell-exact
+                       oracles (md5-derived state, integer folds).
+  - kmeans/pagerank  : fixed-round iterative algorithms made
+                       associative-exact (integer/quantized arithmetic)
+                       so the oracle replays every round bit-for-bit.
+  - layout_*         : PDF text extraction; Z-order bucket stats.
   - extract_main     : boilerplate-strip heuristics branch; the wrap's
                        main-content output has a closed form, so it IS
                        oracle-checked (as is extract_main_boilerplate).
