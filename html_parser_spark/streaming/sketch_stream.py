@@ -95,3 +95,80 @@ def hll_estimate_from_registers(
         F.expr("cast(max(_mrho) as int)").alias("_mrho")
     )
     return fold_registers(per_reg, list(groups))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min: additive cell state
+# ---------------------------------------------------------------------------
+
+CM_STREAM_OUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("hrow", IntegerType()),
+        StructField("bucket", IntegerType()),
+        StructField("cnt", LongType()),
+    ]
+)
+CM_STREAM_STATE_SCHEMA = StructType([StructField("cnt", LongType())])
+
+
+def _cm_fn(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    batch = 0
+    for pdf in pdfs:
+        batch += len(pdf)
+    if batch == 0:
+        return
+    total = (state.get[0] if state.exists else 0) + batch
+    state.update((total,))
+    # emit the RUNNING total: the latest row per cell (max cnt — counts
+    # are monotone) is the cell's current value
+    yield pd.DataFrame(
+        {
+            "group_key": [key[0]],
+            "hrow": pd.array([key[1]], dtype="int32"),
+            "bucket": pd.array([key[2]], dtype="int32"),
+            "cnt": pd.array([total], dtype="int64"),
+        }
+    )
+
+
+def countmin_stream(
+    stream_df: DataFrame,
+    term_expr: str,
+    group_expr: str = "'all'",
+    d: int = 4,
+    hex_chars: int = 1,
+) -> DataFrame:
+    """Streaming Count-Min cells: each (group, hrow, bucket) key holds one
+    additive counter in the state store (O(groups * d * 16^hex_chars)
+    state for an unbounded term stream); every batch that touches a cell
+    emits its new running total (monotone append)."""
+    from ..functions.sketch import _cm_bucket
+
+    keyed = stream_df.selectExpr(
+        f"cast({group_expr} as string) as group_key", f"{term_expr} as _t"
+    ).selectExpr(
+        "group_key",
+        f"posexplode(transform(sequence(0, {d - 1}), "
+        f"i -> {_cm_bucket('_t', 'i', hex_chars)})) as (hrow, bucket)",
+    )
+    return keyed.groupBy("group_key", "hrow", "bucket").applyInPandasWithState(
+        _cm_fn,
+        outputStructType=CM_STREAM_OUT_SCHEMA,
+        stateStructType=CM_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def countmin_cells_from_stream(emitted: DataFrame) -> DataFrame:
+    """Fold an emitted-rows sink to the current sketch: latest (= max,
+    counts are monotone) value per cell — directly consumable by
+    functions/sketch.countmin_estimate."""
+    return emitted.groupBy("hrow", "bucket").agg(
+        F.expr("cast(max(cnt) as bigint)").alias("cnt")
+    )

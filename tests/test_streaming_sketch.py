@@ -88,3 +88,64 @@ def test_unchanged_registers_emit_nothing(spark, tmp_path):
     spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(input_dir)
     _run_once(spark, input_dir, out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_streaming_countmin_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.functions.sketch import (
+        countmin_cells,
+        countmin_estimate,
+    )
+    from html_parser_spark.streaming.sketch_stream import (
+        countmin_cells_from_stream,
+        countmin_stream,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    term_schema = StructType([StructField("term", StringType())])
+
+    b1 = [("alpha",)] * 30 + [("beta",)] * 10 + [(f"w{i}",) for i in range(20)]
+    b2 = [("alpha",)] * 15 + [("gamma",)] * 5
+    spark.createDataFrame(b1, term_schema).write.mode("append").parquet(input_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(term_schema).parquet(input_dir)
+        q = (
+            countmin_stream(stream, "term")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    time.sleep(1.1)
+    spark.createDataFrame(b2, term_schema).write.mode("append").parquet(input_dir)
+    run_once()
+
+    stream_cells = countmin_cells_from_stream(spark.read.parquet(out_dir))
+    union = spark.createDataFrame(b1 + b2, term_schema)
+    batch_cells = countmin_cells(union, "term")
+    a = {(r.hrow, r.bucket): r.cnt for r in stream_cells.collect()}
+    b = {(r.hrow, r.bucket): r.cnt for r in batch_cells.collect()}
+    assert a == b  # cell-for-cell equal to the batch sketch
+    # and the estimates built from the streamed cells match too
+    probes = spark.createDataFrame(
+        [("alpha", 45), ("beta", 10), ("gamma", 5)], "term string, exact long"
+    )
+    est_s = {
+        r.term: r.est
+        for r in countmin_estimate(stream_cells, probes).collect()
+    }
+    est_b = {
+        r.term: r.est
+        for r in countmin_estimate(batch_cells, probes).collect()
+    }
+    assert est_s == est_b
+    assert est_s["alpha"] >= 45
