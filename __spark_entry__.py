@@ -209,6 +209,15 @@ def q_dedup_chunks(spark, sf_dir):
     return DD.chunk_dedup(DD.plant_dups(_docs(spark, sf_dir)))
 
 
+def q_dedup_repeated_spans(spark, sf_dir):
+    """Lee-et-al-style sub-document dedup: maximal word spans whose every
+    10-gram occurs >= 2 times corpus-wide (functions/dedup.repeated_spans —
+    two shuffles: one window count on the 60-bit gram hash, one islands
+    merge on doc_id). Runs over the planted corpus so exact copies mine
+    whole-document spans and near copies mine all-but-the-tail spans."""
+    return DD.repeated_spans(DD.plant_dups(_docs(spark, sf_dir)))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_docs(spark, sf_dir))
 
@@ -1061,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_join": q_fuzzy_join,
         "dedup_clusters": q_dedup_clusters,
         "dedup_chunks": q_dedup_chunks,
+        "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
         "text_langid": q_text_langid,
@@ -1356,6 +1366,39 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
                                        ' ' ORDER BY chunk_idx), '') AS text_dedup
             FROM r GROUP BY doc_id
+        """,
+        "dedup_repeated_spans": f"""
+            WITH {_CORPUS.strip()},
+            wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+            gr AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(w[i:i+9], ' ') AS gram
+              FROM wd, LATERAL (SELECT unnest(generate_series(1, len(w) - 9)) AS i)
+              WHERE len(w) >= 10
+            ),
+            rep AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS n_occ
+                FROM gr)
+              WHERE n_occ >= 2
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > 10
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS INTEGER)
+                       AS span_seq
+              FROM (SELECT doc_id, pos,
+                           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             AS prev
+                    FROM rep)
+            )
+            SELECT doc_id, span_seq,
+                   CAST(MIN(pos) AS INTEGER) AS span_start,
+                   CAST(MAX(pos) + 9 AS INTEGER) AS span_end,
+                   CAST(MAX(pos) - MIN(pos) + 10 AS INTEGER) AS span_words,
+                   COUNT(*) AS n_rep_grams
+            FROM isl GROUP BY doc_id, span_seq
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_JACCARD_CTES.strip().lstrip(',').strip()}

@@ -808,3 +808,111 @@ def fuzzy_join(
     for cached in (garr_all, candidates, la, rb):
         result = _unpersist_with(result, cached)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span mining (sub-document exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+REP_SPAN_N = 10  # words per n-gram; oracle SQL is written for this value
+
+
+def ngram_string_array_expr(n: int = REP_SPAN_N) -> str:
+    """SQL expression: the word ``n``-gram STRINGS of `text`, position-
+    aligned — element ``i`` is ``words[i..i+n-1]`` joined by single spaces,
+    so the array index IS the word offset of the gram (the property the
+    span-merge step needs).
+
+    Built as a doubling cascade of ``zip_with`` over shifted ``slice``s
+    (windows of 1, 2, 4, 8 words, then 8+2), NEVER ``transform(sequence,
+    i -> words[i])`` — indexing an expression-built array inside a lambda
+    re-evaluates it per element (the measured O(words^2) trap, see
+    shingle_array_expr). Out-of-range zip positions pad null and null
+    propagates through concat, so trailing invalid windows filter away and
+    the surviving prefix stays position-aligned."""
+    assert n == 10, "oracle SQL is written for n=10"
+    w = "split(text, ' ')"
+
+    def merge(a: str, b: str, off: int) -> str:
+        # element i of `a` (window of `off` words) + element i+off of `b`
+        return (
+            f"zip_with({a}, slice({b}, {off + 1}, size({w})), "
+            "(x, y) -> concat(x, ' ', y))"
+        )
+
+    s2 = merge(w, w, 1)  # words i..i+1
+    s4 = merge(s2, s2, 2)  # words i..i+3
+    s8 = merge(s4, s4, 4)  # words i..i+7
+    s10 = merge(s8, s2, 8)  # words i..i+9
+    return f"filter({s10}, s -> s is not null)"
+
+
+def repeated_spans(corpus: DataFrame, n: int = REP_SPAN_N) -> DataFrame:
+    """Cross-document repeated n-gram SPAN mining — the sub-document
+    exact-substring dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), re-expressed for Spark:
+    instead of a suffix array (sequential, memory-bound), every word
+    ``n``-gram occurrence is counted corpus-wide, and per document the
+    positions whose gram occurs >= 2 times anywhere are merged into maximal
+    spans (positions p, q merge while q - p <= n, i.e. their windows overlap
+    or touch). A downstream cleaner can cut exactly these spans, which is
+    the paper's remove-every-duplicated-50-gram rule at n words.
+
+    Output, one row per maximal repeated span:
+      (doc_id, span_seq, span_start, span_end, span_words, n_rep_grams)
+    where span_start/span_end are 0-based word offsets (inclusive),
+    span_seq numbers a doc's spans in order, and n_rep_grams is how many
+    repeated grams the span merged.
+
+    Scale shape: TWO shuffles total —
+      1. hash-partition on the 60-bit gram hash for a window COUNT (no
+         count-table join-back: one pass proposes and filters), then
+      2. hash-partition on doc_id for the ordered islands merge; the final
+         groupBy(doc_id, span_seq) reuses that partitioning (HashPartitioning
+         on doc_id satisfies the grouping's clustered distribution), so
+         Catalyst plans no third Exchange.
+    Grams are hashed to fixed-width bigints before the shuffle (same 60-bit
+    md5 trick as shingle_array_expr) so the wide stage never moves strings.
+    No corpus-size caps: a gram repeated a million times costs one window
+    partition of a million SMALL rows, never a pairwise blowup.
+
+    The reference engine has no corpus-level operator like this (SURVEY §2.2
+    — htmlParser.ts:10 is single-document); this is pipeline capability.
+    """
+    from pyspark.sql import Window
+
+    occ = corpus.select(
+        "doc_id",
+        F.posexplode(F.expr(ngram_string_array_expr(n))).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr("cast(conv(substr(md5(gram), 1, 15), 16, 10) as bigint)").alias("g"),
+    )
+    rep = occ.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("g"))
+    ).where("n_occ >= 2")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
+    isl = rep.withColumn(
+        "span_seq",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return (
+        isl.groupBy("doc_id", "span_seq")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(n)).alias("span_words"),
+            F.count("*").alias("n_rep_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_seq",
+            "span_start",
+            "span_end",
+            "span_words",
+            "n_rep_grams",
+        )
+    )

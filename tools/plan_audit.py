@@ -218,6 +218,26 @@ def main() -> int:
     )
 
     audit(
+        "dedup_repeated_spans",
+        qs["dedup_repeated_spans"](spark, sf_dir),
+        [
+            ("two exchanges total: the corpus-wide gram-count window on the "
+             "60-bit hash and the per-doc islands merge on doc_id (the "
+             "final groupBy reuses the doc_id partitioning)",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2),
+            ("no count-table join-back: the repeat filter is a window "
+             "count, not a join",
+             lambda p: "Join" not in p),
+            ("gram strings never cross the wide stage: the shuffle keys "
+             "are bigint hashes (gram dropped before the first exchange)",
+             lambda p: "hashpartitioning(g#" in p),
+            ("grams built by zip_with cascade, no indexing lambda over a "
+             "split array (the per-element re-evaluation trap)",
+             lambda p: "transform(sequence" not in p),
+        ],
+    )
+
+    audit(
         "text_repetition",
         qs["text_repetition"](spark, sf_dir),
         [
