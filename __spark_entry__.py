@@ -262,6 +262,13 @@ def q_text_tfidf(spark, sf_dir):
     return TXT.tf_idf_topk(_docs(spark, sf_dir), k=3)
 
 
+def q_text_bm25(spark, sf_dir):
+    """Top-10 documents for the fixed query ('join','hash','scan') under
+    log-free integer BM25 (functions/text.bm25_topk — zero wide shuffles:
+    narrow per-doc tf projections, one broadcast totals row, TakeOrdered)."""
+    return TXT.bm25_topk(_docs(spark, sf_dir))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination over the documents table: the benchmark is
     every 50th doc (a deterministic eval split), and a training doc is
@@ -1080,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_topk_terms": q_text_topk_terms,
         "text_tfidf": q_text_tfidf,
+        "text_bm25_search": q_text_bm25,
         "decontaminate_overlap": q_decontaminate,
         "text_bigram_lm": q_text_bigram_lm,
         "sample_stratified": q_sample_stratified,
@@ -1628,6 +1636,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df, score_micro, CAST(rk AS INTEGER) AS rank
             FROM r WHERE rk <= 3
+        """,
+        "text_bm25_search": """
+            WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            base AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                     CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf0,
+                     CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT) AS tf1,
+                     CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf2
+              FROM wd
+            ),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_len,
+                     CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                     CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+              FROM base
+            ),
+            sc AS (
+              SELECT doc_id, dl,
+                     CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS INTEGER)
+                       AS n_hit,
+                     CAST(
+                       (CASE WHEN tf0 > 0 THEN
+                         (((22000000 * tf0 * total_len)
+                            // (10 * tf0 * total_len + 3 * total_len
+                                + 9 * dl * n_docs))
+                          * ((1000 * (2 * (n_docs - df0) + 1)) // (2 * df0 + 1)))
+                         // 1000 ELSE 0 END)
+                     + (CASE WHEN tf1 > 0 THEN
+                         (((22000000 * tf1 * total_len)
+                            // (10 * tf1 * total_len + 3 * total_len
+                                + 9 * dl * n_docs))
+                          * ((1000 * (2 * (n_docs - df1) + 1)) // (2 * df1 + 1)))
+                         // 1000 ELSE 0 END)
+                     + (CASE WHEN tf2 > 0 THEN
+                         (((22000000 * tf2 * total_len)
+                            // (10 * tf2 * total_len + 3 * total_len
+                                + 9 * dl * n_docs))
+                          * ((1000 * (2 * (n_docs - df2) + 1)) // (2 * df2 + 1)))
+                         // 1000 ELSE 0 END)
+                     AS BIGINT) AS bm25_micro
+              FROM base CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(dl AS INTEGER) AS dl, n_hit, bm25_micro,
+                   CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM sc WHERE n_hit > 0
+            ORDER BY bm25_micro DESC, doc_id LIMIT 10
         """,
         "decontaminate_overlap": """
             WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -324,3 +324,83 @@ def fingerprint(docs: DataFrame) -> DataFrame:
             f"(acc, v) -> pmod(acc * {FP_BASE}L + v, {FP_MOD}L))"
         ).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("join", "hash", "scan")  # default demo query (corpus vocab)
+
+
+def bm25_topk(docs: DataFrame, terms: tuple = BM25_TERMS, k: int = 10) -> DataFrame:
+    """Top-k documents for a fixed term query under a LOG-FREE integer BM25
+    (k1 = 1.2, b = 0.75), the classic quality-weighted retrieval scorer:
+
+        tf_part  = div(22e6 * tf * total_len,
+                       10*tf*total_len + 3*total_len + 9*dl*n_docs)
+        idf_milli = div(1000 * (2*(n_docs - df) + 1), 2*df + 1)
+        score    += div(tf_part * idf_milli, 1000)        per query term
+
+    which is BM25 with ln((N-df+.5)/(df+.5)) replaced by the pure ratio it
+    wraps — monotone in df, and integer-exact so the DuckDB oracle compares
+    bit-for-bit (IEEE ln is not correctly rounded across engines; same move
+    as tf_idf_topk/bigram_lm_score). The tf saturation term is exact BM25:
+    multiplying numerator and denominator of tf*(k1+1)/(tf + k1*(1-b+b*dl/
+    avgdl)) by 10*total_len clears every fraction (avgdl = total_len/n_docs).
+    int64 headroom: 22e6 * tf * total_len stays < 2^63 while tf*total_len
+    < 4e11 — a 1e9-word corpus with 400-occurrence docs; rescale the 1e6
+    factor beyond that.
+
+    Scale shape: ZERO wide shuffles. Per-doc tf for each query term is a
+    narrow `size(filter(words, ...))` projection (no explode of non-query
+    words), the corpus totals (n_docs, total_len, per-term df) reduce to ONE
+    row via a map-side-combinable global agg that broadcasts back, and the
+    top-k is a TakeOrdered, never a full sort. Two scans of the corpus
+    total — the same I/O as any one aggregation.
+    """
+    tf_cols = [
+        F.expr(f"size(filter(words, w -> w = '{t}'))").alias(f"tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = with_words(docs).select(
+        "doc_id", F.expr("size(words)").alias("dl"), *tf_cols
+    )
+    totals = base.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("cast(sum(dl) as bigint)").alias("total_len"),
+        *[
+            F.expr(f"cast(sum(case when tf{i} > 0 then 1 else 0 end) as bigint)")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score_terms = []
+    for i in range(len(terms)):
+        tf_part = (
+            f"div(22000000L * tf{i} * total_len, "
+            f"10L * tf{i} * total_len + 3L * total_len + 9L * dl * n_docs)"
+        )
+        idf = f"div(1000L * (2L * (n_docs - df{i}) + 1L), 2L * df{i} + 1L)"
+        score_terms.append(
+            f"(case when tf{i} > 0 then div(({tf_part}) * ({idf}), 1000L) "
+            "else 0L end)"
+        )
+    hits = " + ".join(f"(case when tf{i} > 0 then 1 else 0 end)" for i in range(len(terms)))
+    scored = (
+        base.join(F.broadcast(totals))
+        .withColumn("n_hit", F.expr(f"cast({hits} as int)"))
+        .withColumn(
+            "bm25_micro", F.expr("cast(" + " + ".join(score_terms) + " as bigint)")
+        )
+        .where("n_hit > 0")
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("bm25_micro"), "doc_id").limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_micro"), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "dl", "n_hit", "bm25_micro", "rank")

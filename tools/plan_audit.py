@@ -238,6 +238,23 @@ def main() -> int:
     )
 
     audit(
+        "text_bm25_search",
+        qs["text_bm25_search"](spark, sf_dir),
+        [
+            ("zero wide shuffles: no hash-partition Exchange anywhere (the "
+             "only Exchange is the SinglePartition reduce of the 1-row "
+             "totals aggregate)",
+             lambda p: "Exchange hashpartitioning" not in p),
+            ("totals attach by broadcast, corpus never shuffles for the join",
+             lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+            ("top-k runs as TakeOrdered, never a full sort",
+             lambda p: "TakeOrderedAndProject" in p),
+            ("totals pass reads only the text column",
+             lambda p: "ReadSchema: struct<text:string>" in p),
+        ],
+    )
+
+    audit(
         "text_repetition",
         qs["text_repetition"](spark, sf_dir),
         [
