@@ -55,6 +55,7 @@ from html_parser_spark.functions import similarity as SIM
 from html_parser_spark.functions import sketch as SK
 from html_parser_spark.functions import text as TXT
 from html_parser_spark.kernels.extract import ExtractOptions
+from html_parser_spark.sources import warc as WARC
 from html_parser_spark.operators.extract import (
     exploded_spans,
     extract_spans,
@@ -260,6 +261,25 @@ def q_text_topk_terms(spark, sf_dir):
 def q_text_tfidf(spark, sf_dir):
     """Per-doc top-3 salient terms by the integer TF-IDF ratio."""
     return TXT.tf_idf_topk(_docs(spark, sf_dir), k=3)
+
+
+def q_source_warc(spark, sf_dir):
+    """WARC container round trip (sources/warc.py): pack the documents
+    table into multi-record gzipped WARC files (one groupBy), split them
+    back into records with one mapInPandas crossing, and emit per-record
+    facts — the header-declared length and the md5 of the actual payload
+    BYTES, so the oracle's closed-form (length(text), md5(text)) verifies
+    both the container writer and the reader end-to-end."""
+    files = WARC.synth_warc_files(_docs(spark, sf_dir), compress=True)
+    recs = WARC.warc_records(files).where("status = 'ok'")
+    return recs.select(
+        F.expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)").alias(
+            "doc_id"
+        ),
+        "url",
+        "content_length",
+        "payload_md5",
+    )
 
 
 def q_text_bm25(spark, sf_dir):
@@ -1088,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topk_terms": q_text_topk_terms,
         "text_tfidf": q_text_tfidf,
         "text_bm25_search": q_text_bm25,
+        "source_warc_roundtrip": q_source_warc,
         "decontaminate_overlap": q_decontaminate,
         "text_bigram_lm": q_text_bigram_lm,
         "sample_stratified": q_sample_stratified,
@@ -1636,6 +1657,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df, score_micro, CAST(rk AS INTEGER) AS rank
             FROM r WHERE rk <= 3
+        """,
+        "source_warc_roundtrip": """
+            SELECT doc_id,
+                   'https://corpus.example/' || source || '/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(length(text) AS INTEGER) AS content_length,
+                   md5(text) AS payload_md5
+            FROM documents
         """,
         "text_bm25_search": """
             WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -238,6 +238,23 @@ def main() -> int:
     )
 
     audit(
+        "source_warc_roundtrip",
+        qs["source_warc_roundtrip"](spark, sf_dir),
+        [
+            ("one exchange total: the pack-into-files groupBy (the record "
+             "splitter adds no shuffle)",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1),
+            ("record packing is map-side partial (collect_list partials "
+             "before the exchange)",
+             lambda p: "partial_collect_list" in p),
+            ("exactly two Python crossings: the gzip writer and the record "
+             "scanner (ArrowEvalPython + MapInPandas)",
+             lambda p: len(re.findall(r"\(\d+\) ArrowEvalPython\b", p)) == 1
+             and len(re.findall(r"\(\d+\) MapInPandas\b", p)) == 1),
+        ],
+    )
+
+    audit(
         "text_bm25_search",
         qs["text_bm25_search"](spark, sf_dir),
         [
