@@ -958,6 +958,52 @@ def q_events_rolling(spark, sf_dir):
     )
 
 
+def q_events_gapfill(spark, sf_dir):
+    """Time-series gap-fill: per user, the hourly activity series with
+    every missing hour between the user's first and last active hour
+    materialized (n_events = 0) and value carried forward from the last
+    observed hour — the dense-series prep step for rate/retention models.
+
+    Scale shape: join-free and ONE Exchange total. An explicit
+    repartition on user_id starts the wide stage; the per-(user, hour)
+    aggregate and the per-user pack both reuse that partitioning
+    (HashPartitioning(user_id) satisfies both groupings), and the fill is
+    a narrow array fold — each observed hour is zip_with-paired with its
+    successor and expands to the gap rows it covers, carrying its cents
+    value. No spine join, no IGNORE-NULLS window, no second shuffle. Per-
+    user state is bounded by the user's active-hour RANGE (a year-long
+    user is ~9k structs); range-skewed keys would salt by hour-block.
+    """
+    ev = _events_utc(spark, sf_dir)
+    hourly = (
+        ev.repartition("user_id")
+        .groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)").alias(
+                "cents"
+            ),
+        )
+    )
+    packed = hourly.groupBy("user_id").agg(
+        F.expr("array_sort(collect_list(struct(hr, n_events, cents)))").alias("obs")
+    )
+    fill = """
+      flatten(zip_with(obs, slice(obs, 2, size(obs)), (a, b) ->
+        transform(sequence(a.hr, coalesce(b.hr, a.hr + 1) - 1), h ->
+          struct(h as hr,
+                 case when h = a.hr then a.n_events else 0L end as n_events,
+                 a.cents as value_cents_filled,
+                 cast(h <> a.hr as int) as is_gap))))
+    """
+    return packed.select(
+        "user_id", F.explode(F.expr(fill)).alias("c")
+    ).select("user_id", "c.hr", "c.n_events", "c.value_cents_filled", "c.is_gap")
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot: hourly event counts spread into one column per event type
     (Spark relational pivot; oracle = conditional aggregation). Missing
@@ -1146,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": q_events_asof,
         "events_error_burst": q_events_error_burst,
         "events_rolling_value": q_events_rolling,
+        "events_gapfill": q_events_gapfill,
         "events_pivot_hourly": q_events_pivot,
         "events_rollup_totals": q_events_rollup,
         "events_quantiles": q_events_quantiles,
@@ -2452,6 +2499,27 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id
              AND epoch_us(l.ts) - epoch_us(r.ts) BETWEEN 0 AND 120000000
             GROUP BY 1, 2, 3
+        """,
+        "events_gapfill": """
+            WITH hourly AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM events GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT user_id, unnest(generate_series(mn, mx)) AS hr
+              FROM (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx
+                    FROM hourly GROUP BY 1)
+            )
+            SELECT s.user_id, s.hr,
+                   COALESCE(h.n_events, 0) AS n_events,
+                   last_value(h.cents IGNORE NULLS)
+                     OVER (PARTITION BY s.user_id ORDER BY s.hr)
+                     AS value_cents_filled,
+                   CAST(h.n_events IS NULL AS INTEGER) AS is_gap
+            FROM spine s LEFT JOIN hourly h USING (user_id, hr)
         """,
         "events_rolling_value": """
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

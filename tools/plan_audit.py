@@ -238,6 +238,22 @@ def main() -> int:
     )
 
     audit(
+        "events_gapfill",
+        qs["events_gapfill"](spark, sf_dir),
+        [
+            ("join-free with ONE exchange: the user_id repartition is "
+             "reused by the hourly agg and the per-user pack",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and "Join" not in p),
+            ("both aggregations are map-side partial",
+             lambda p: "partial_count" in p),
+            ("the fill is a narrow zip_with fold, no indexing lambda over "
+             "a built array",
+             lambda p: "zip_with" in p.lower() or "ZipWith" in p),
+        ],
+    )
+
+    audit(
         "source_warc_roundtrip",
         qs["source_warc_roundtrip"](spark, sf_dir),
         [
