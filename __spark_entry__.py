@@ -289,6 +289,13 @@ def q_text_bm25(spark, sf_dir):
     return TXT.bm25_topk(_docs(spark, sf_dir))
 
 
+def q_text_phrase(spark, sf_dir):
+    """Exact-phrase matches for '"hash join"' (functions/text.phrase_search
+    — zero shuffles: indexed-transform position sets + shift-and-intersect
+    adjacency, all scan-side)."""
+    return TXT.phrase_search(_docs(spark, sf_dir))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination over the documents table: the benchmark is
     every 50th doc (a deterministic eval split), and a training doc is
@@ -1155,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_bm25_search": q_text_bm25,
         "source_warc_roundtrip": q_source_warc,
+        "text_phrase_search": q_text_phrase,
         "decontaminate_overlap": q_decontaminate,
         "text_bigram_lm": q_text_bigram_lm,
         "sample_stratified": q_sample_stratified,
@@ -1704,6 +1712,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df, score_micro, CAST(rk AS INTEGER) AS rank
             FROM r WHERE rk <= 3
+        """,
+        "text_phrase_search": """
+            WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            ps AS (
+              SELECT doc_id,
+                     list_intersect(
+                       list_transform(
+                         list_filter(
+                           list_transform(w, (x, i) ->
+                             CASE WHEN x = 'hash' THEN i - 1 ELSE -1 END),
+                           p -> p >= 0),
+                         p -> p + 1),
+                       list_filter(
+                         list_transform(w, (x, i) ->
+                           CASE WHEN x = 'join' THEN i - 1 ELSE -1 END),
+                         p -> p >= 0)) AS s
+              FROM wd
+            )
+            SELECT doc_id, CAST(len(s) AS INTEGER) AS n_phrase,
+                   CAST(list_min(s) - 1 AS INTEGER) AS first_pos
+            FROM ps WHERE len(s) > 0
         """,
         "source_warc_roundtrip": """
             SELECT doc_id,

@@ -404,3 +404,48 @@ def bm25_topk(docs: DataFrame, terms: tuple = BM25_TERMS, k: int = 10) -> DataFr
         .over(Window.orderBy(F.desc("bm25_micro"), "doc_id"))
         .cast("int"),
     ).select("doc_id", "dl", "n_hit", "bm25_micro", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+PHRASE = ("hash", "join")  # default demo phrase (corpus vocab)
+
+
+def phrase_search(docs: DataFrame, phrase: tuple = PHRASE) -> DataFrame:
+    """Exact phrase matching — '"hash join"', not bag-of-words: documents
+    where the phrase's words occur at CONSECUTIVE positions, with the match
+    count and first match offset. The positional complement to bm25_topk.
+
+    (doc_id, n_phrase, first_pos) for docs with >= 1 match; first_pos is
+    the 0-based word offset of the first occurrence.
+
+    Scale shape: ZERO shuffles — a pure narrow projection. Per-term
+    position sets come from one indexed `transform` over the words array
+    (the lambda indexes its SOURCE argument, which Spark evaluates once
+    per row — not the per-element re-evaluation trap), and adjacency is a
+    shift-and-intersect fold: S_1 = pos(w1); S_j = (S_{j-1} + 1) ∩
+    pos(wj); matches = |S_k|. No posting-list join, no explode: the same
+    doc-local algebra an inverted index would run per candidate, applied
+    scan-side with full predicate pushdown potential. At 100 TB this is
+    the map stage of a search; a real serving path would persist the
+    per-term position arrays as the positional index.
+    """
+    pos_exprs = [
+        f"filter(transform(words, (x, i) -> if(x = '{t}', i, -1)), p -> p >= 0)"
+        for t in phrase
+    ]
+    s = pos_exprs[0]
+    for nxt in pos_exprs[1:]:
+        s = f"array_intersect(transform({s}, p -> p + 1), {nxt})"
+    k = len(phrase)
+    return (
+        with_words(docs)
+        .select(
+            "doc_id",
+            F.expr(f"size({s})").alias("n_phrase"),
+            F.expr(f"array_min({s}) - {k - 1}").alias("first_pos"),
+        )
+        .where("n_phrase > 0")
+    )

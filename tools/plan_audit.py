@@ -238,6 +238,18 @@ def main() -> int:
     )
 
     audit(
+        "text_phrase_search",
+        qs["text_phrase_search"](spark, sf_dir),
+        [
+            ("zero shuffles: pure narrow projection, adjacency is doc-local "
+             "shift-and-intersect algebra",
+             lambda p: "Exchange" not in p),
+            ("scan pruned to doc_id,text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
+    audit(
         "events_gapfill",
         qs["events_gapfill"](spark, sf_dir),
         [
