@@ -238,6 +238,42 @@ def main() -> int:
     )
 
     audit(
+        "tpch_top_orders",
+        qs["tpch_top_orders"](spark, sf_dir),
+        [
+            ("dimension sides broadcast; no cartesian/nested-loop join",
+             lambda p: len(re.findall(r"BroadcastHashJoin", p)) >= 2
+             and "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+            ("at most one wide exchange beyond the joins (the revenue "
+             "groupBy; at bench sf even orders broadcasts)",
+             lambda p: len(re.findall(r"Exchange hashpartitioning", p)) <= 2),
+            ("top-10 runs as TakeOrdered, never a full sort",
+             lambda p: "TakeOrderedAndProject" in p),
+            ("revenue aggregation is map-side partial",
+             lambda p: "partial_sum" in p),
+            ("date filters push to the scans",
+             lambda p: "PushedFilters: [IsNotNull(l_shipdate)" in p
+             or "GreaterThan(l_shipdate" in p),
+        ],
+    )
+
+    audit(
+        "tpch_regional_revenue",
+        qs["tpch_regional_revenue"](spark, sf_dir),
+        [
+            ("all five dimension chains broadcast (region->nation->supplier "
+             "and customer): the only wide work is lineitem x orders",
+             lambda p: len(re.findall(r"BroadcastHashJoin", p)) >= 4
+             and "CartesianProduct" not in p),
+            ("at most one wide exchange beyond the joins",
+             lambda p: len(re.findall(r"Exchange hashpartitioning", p)) <= 2),
+            ("revenue aggregation is map-side partial",
+             lambda p: "partial_sum" in p),
+        ],
+    )
+
+    audit(
         "text_phrase_search",
         qs["text_phrase_search"](spark, sf_dir),
         [
