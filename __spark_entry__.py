@@ -901,6 +901,30 @@ def q_tpch_regional_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_late_orders(spark, sf_dir):
+    """TPC-H Q4-style order-priority check, the SEMI-join shape: count
+    orders per priority having AT LEAST ONE line shipped > 90 days after
+    the order date. The existence probe is a left-semi join on orderkey —
+    one bit per order crosses the join, the lineitem side is never
+    duplicated into the aggregate (the EXISTS-subquery plan, not a
+    join+distinct)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + interval 90 days")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -1315,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
+        "tpch_late_orders": q_tpch_late_orders,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_asof_attribution": q_events_asof,
@@ -2706,6 +2731,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.r_name = 'ASIA'
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "tpch_late_orders": """
+            SELECT o.o_orderpriority, COUNT(*) AS n_late_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
             GROUP BY 1
         """,
         "events_gapfill": """

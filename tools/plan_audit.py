@@ -259,6 +259,20 @@ def main() -> int:
     )
 
     audit(
+        "tpch_late_orders",
+        qs["tpch_late_orders"](spark, sf_dir),
+        [
+            ("existence probe plans as a SEMI join (LeftSemi), never "
+             "join+distinct",
+             lambda p: "LeftSemi" in p),
+            ("no cartesian: the date inequality rides the equi-join",
+             lambda p: "CartesianProduct" not in p),
+            ("priority counts are map-side partial",
+             lambda p: "partial_count" in p),
+        ],
+    )
+
+    audit(
         "tpch_regional_revenue",
         qs["tpch_regional_revenue"](spark, sf_dir),
         [
