@@ -1227,6 +1227,48 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) as EXACT lower-median order statistics in integer
+    cents — no mean/stddev (one mega-value corrupts both; sqrt is not
+    cross-engine bit-stable) — and the count of events beyond 5 x MAD.
+
+    Scale shape: ONE Exchange on event_type, shared by everything. The
+    per-type median and MAD never leave the partition: each is a window
+    MAX over the same event_type partitioning (no groupBy + join-back,
+    which would plan extra exchanges per attach), the two rank passes are
+    in-partition sorts, and the final groupBy reuses the partitioning."""
+    from pyspark.sql import Window
+
+    ev = _events_utc(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    d = ranked.withColumn(
+        "med_c",
+        F.expr("max(case when rk = (n + 1) div 2 then cents end)").over(wn),
+    ).withColumn("dev", F.expr("abs(cents - med_c)"))
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    d2 = d.withColumn("rk2", F.row_number().over(w2)).withColumn(
+        "mad_c",
+        F.expr("max(case when rk2 = (n + 1) div 2 then dev end)").over(wn),
+    )
+    return d2.groupBy("event_type").agg(
+        F.expr("cast(max(n) as bigint)").alias("n"),
+        F.expr("cast(max(med_c) as bigint)").alias("med_c"),
+        F.expr("cast(max(mad_c) as bigint)").alias("mad_c"),
+        F.expr(
+            "cast(sum(case when dev > 5 * mad_c then 1 else 0 end) as bigint)"
+        ).alias("n_outliers"),
+    )
+
+
 def q_layout_zorder(spark, sf_dir):
     """Z-order layout stats (functions/zorder.py): Morton-interleave
     (user_id, value_cents), slice the sorted table into 16 buckets, emit
@@ -1350,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_totals": q_events_rollup,
         "events_quantiles": q_events_quantiles,
         "events_hist_quantiles": q_events_hist_quantiles,
+        "events_mad_outliers": q_events_mad_outliers,
         "layout_zorder_stats": q_layout_zorder,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_hll_user_minutes": q_sketch_hll_user_minutes,
@@ -2764,6 +2807,46 @@ def oracle_sql() -> dict[str, str]:
                      AS value_cents_filled,
                    CAST(h.n_events IS NULL AS INTEGER) AS is_gap
             FROM spine s LEFT JOIN hourly h USING (user_id, hr)
+        """,
+        "events_mad_outliers": """
+            WITH e AS (
+              SELECT event_type, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            ),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY c, event_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM e
+            ),
+            med AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rk = (n + 1) // 2 THEN c END) AS med_c
+              FROM r GROUP BY 1
+            ),
+            d AS (
+              SELECT r.*, med_c, abs(c - med_c) AS dev
+              FROM r JOIN med USING (event_type)
+            ),
+            r2 AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY dev, event_id) AS rk2
+              FROM d
+            ),
+            mad AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rk2 = (n + 1) // 2 THEN dev END) AS mad_c
+              FROM r2 GROUP BY 1
+            )
+            SELECT d.event_type,
+                   CAST(MAX(d.n) AS BIGINT) AS n,
+                   CAST(MAX(d.med_c) AS BIGINT) AS med_c,
+                   CAST(MAX(mad.mad_c) AS BIGINT) AS mad_c,
+                   CAST(SUM(CASE WHEN dev > 5 * mad.mad_c THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM d JOIN mad USING (event_type) GROUP BY 1
         """,
         "events_rolling_value": """
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

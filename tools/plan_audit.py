@@ -259,6 +259,19 @@ def main() -> int:
     )
 
     audit(
+        "events_mad_outliers",
+        qs["events_mad_outliers"](spark, sf_dir),
+        [
+            ("ONE exchange on event_type shared by both rank passes, both "
+             "window MAX attaches, and the final groupBy — no join-back",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and "Join" not in p),
+            ("final aggregate is map-side partial",
+             lambda p: "partial_max" in p or "partial_sum" in p),
+        ],
+    )
+
+    audit(
         "tpch_late_orders",
         qs["tpch_late_orders"](spark, sf_dir),
         [
