@@ -925,6 +925,31 @@ def q_tpch_late_orders(spark, sf_dir):
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
 
 
+def q_tpch_inactive_customers(spark, sf_dir):
+    """Churn query, the ANTI-join shape: per market segment, how many
+    customers placed NO order in the window (plus the segment's total).
+    NOT EXISTS plans as LeftAnti on custkey — the complement of
+    tpch_late_orders' semi probe; together they pin both existence
+    shapes the engine must never rewrite into join+distinct."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    inactive = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).groupBy("c_mktsegment").agg(F.count("*").alias("n_inactive"))
+    totals = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+    return totals.join(inactive, "c_mktsegment", "left").select(
+        "c_mktsegment",
+        "n_customers",
+        F.expr("coalesce(n_inactive, 0L)").alias("n_inactive"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -1382,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
         "tpch_late_orders": q_tpch_late_orders,
+        "tpch_inactive_customers": q_tpch_inactive_customers,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_asof_attribution": q_events_asof,
@@ -2786,6 +2812,17 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l.l_orderkey = o.o_orderkey
                   AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
             GROUP BY 1
+        """,
+        "tpch_inactive_customers": """
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CASE WHEN NOT EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+                       AND o.o_orderdate < TIMESTAMP '2001-01-01')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+            FROM customer c GROUP BY 1
         """,
         "events_gapfill": """
             WITH hourly AS (

@@ -286,6 +286,17 @@ def main() -> int:
     )
 
     audit(
+        "tpch_inactive_customers",
+        qs["tpch_inactive_customers"](spark, sf_dir),
+        [
+            ("absence probe plans as an ANTI join (LeftAnti), never "
+             "outer-join + null-filter",
+             lambda p: "LeftAnti" in p),
+            ("no cartesian anywhere", lambda p: "CartesianProduct" not in p),
+        ],
+    )
+
+    audit(
         "tpch_regional_revenue",
         qs["tpch_regional_revenue"](spark, sf_dir),
         [
