@@ -215,8 +215,15 @@ def q_dedup_repeated_spans(spark, sf_dir):
     10-gram occurs >= 2 times corpus-wide (functions/dedup.repeated_spans —
     two shuffles: one window count on the 60-bit gram hash, one islands
     merge on doc_id). Runs over the planted corpus so exact copies mine
-    whole-document spans and near copies mine all-but-the-tail spans."""
-    return DD.repeated_spans(DD.plant_dups(_docs(spark, sf_dir)))
+    whole-document spans and near copies mine all-but-the-tail spans.
+    The spread repartition sits AFTER the plant-dups union: the gram-build
+    + md5 projection is the CPU-heavy stage and a single parquet split
+    would run it in ONE task (the PNG-query lesson); spreading before the
+    union would clone the exchange into all three legs."""
+    corpus = DD.plant_dups(_docs(spark, sf_dir)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return DD.repeated_spans(corpus)
 
 
 def q_dedup_simhash(spark, sf_dir):

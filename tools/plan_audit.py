@@ -221,10 +221,12 @@ def main() -> int:
         "dedup_repeated_spans",
         qs["dedup_repeated_spans"](spark, sf_dir),
         [
-            ("two exchanges total: the corpus-wide gram-count window on the "
+            ("two WIDE exchanges: the corpus-wide gram-count window on the "
              "60-bit hash and the per-doc islands merge on doc_id (the "
-             "final groupBy reuses the doc_id partitioning)",
-             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2),
+             "final groupBy reuses the doc_id partitioning); plus only the "
+             "round-robin input spread",
+             lambda p: p.count("hashpartitioning") == 2
+             and len(re.findall(r"\(\d+\) Exchange\b", p)) == 3),
             ("no count-table join-back: the repeat filter is a window "
              "count, not a join",
              lambda p: "Join" not in p),
