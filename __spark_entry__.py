@@ -303,6 +303,39 @@ def q_text_phrase(spark, sf_dir):
     return TXT.phrase_search(_docs(spark, sf_dir))
 
 
+def q_corpus_pack(spark, sf_dir):
+    """Sequence packing — the training-batch prep step: assign documents
+    to fixed 512-token bins, greedy in doc_id order WITHIN each source
+    (bin_id = floor(cumulative tokens before this doc / 512)), using the
+    same BPE-ish subword count as text.quality. One Exchange on source;
+    the cumulative window and the bin arithmetic are in-partition. At
+    100 TB the packing key widens to (source, shard) so no single window
+    partition holds a whole source — the assignment stays deterministic
+    because the cumsum is per-key."""
+    from pyspark.sql import Window
+
+    toks = TXT.with_words(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "source",
+        F.expr("aggregate(words, 0L, (s, w) -> s + div(length(w) + 3, 4))").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn("bin_id", F.expr("cast(div(cum_before, 512) as bigint)"))
+        .withColumn("bin_offset", F.expr("cast(cum_before % 512 as bigint)"))
+        .select("doc_id", "source", "n_tokens", "bin_id", "bin_offset")
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination over the documents table: the benchmark is
     every 50th doc (a deterministic eval split), and a training doc is
@@ -1138,6 +1171,25 @@ def q_events_rolling(spark, sf_dir):
     )
 
 
+def q_events_json_props(spark, sf_dir):
+    """Schema-on-read over the semi-structured props column: `from_json`
+    with an explicit schema (the strict API — malformed rows become null,
+    never a crash) feeding per-type stats on the extracted field. All
+    JVM-side; at 100 TB this is the 'late-binding JSON payload' pattern —
+    parse once in the scan projection, aggregate map-side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.expr("from_json(props, 'k int').k").alias("k")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr("cast(count(k) as bigint)").alias("n_parsed"),
+        F.expr("cast(sum(k) as bigint)").alias("sum_k"),
+        F.expr("cast(min(k) as int)").alias("min_k"),
+        F.expr("cast(max(k) as int)").alias("max_k"),
+        F.expr("cast(count(distinct k) as bigint)").alias("n_distinct_k"),
+    )
+
+
 def q_events_gapfill(spark, sf_dir):
     """Time-series gap-fill: per user, the hourly activity series with
     every missing hour between the user's first and last active hour
@@ -1382,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "sample_stratified": q_sample_stratified,
         "corpus_mix": q_corpus_mix,
+        "corpus_pack_sequences": q_corpus_pack,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
         "similarity_ivf_topk": q_similarity_ivf,
@@ -1421,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_burst": q_events_error_burst,
         "events_rolling_value": q_events_rolling,
         "events_gapfill": q_events_gapfill,
+        "events_json_props": q_events_json_props,
         "events_pivot_hourly": q_events_pivot,
         "events_rollup_totals": q_events_rollup,
         "events_quantiles": q_events_quantiles,
@@ -2071,6 +2125,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE {_WORD_HASH_D.format(w="CAST(doc_id AS VARCHAR)")} % 1000
                   < 100 + 40 * (CAST(substr(source, 4, 10) AS INTEGER) % 10)
+        """,
+        "corpus_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(list_sum(list_transform(string_split(text, ' '),
+                          w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_before
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(cum_before // 512 AS BIGINT) AS bin_id,
+                   CAST(cum_before % 512 AS BIGINT) AS bin_offset
+            FROM c
         """,
         "corpus_mix": f"""
             WITH t AS (
@@ -2830,6 +2903,21 @@ def oracle_sql() -> dict[str, str]:
                        AND o.o_orderdate < TIMESTAMP '2001-01-01')
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
             FROM customer c GROUP BY 1
+        """,
+        "events_json_props": """
+            WITH p AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(k) AS n_parsed,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS INTEGER) AS min_k,
+                   CAST(MAX(k) AS INTEGER) AS max_k,
+                   COUNT(DISTINCT k) AS n_distinct_k
+            FROM p GROUP BY 1
         """,
         "events_gapfill": """
             WITH hourly AS (

@@ -326,6 +326,31 @@ def main() -> int:
     )
 
     audit(
+        "corpus_pack_sequences",
+        qs["corpus_pack_sequences"](spark, sf_dir),
+        [
+            ("ONE exchange on source: the cumulative window and the bin "
+             "arithmetic are in-partition",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1),
+            ("token counting is a narrow aggregate() fold, no explode",
+             lambda p: "Generate" not in p),
+        ],
+    )
+
+    audit(
+        "events_json_props",
+        qs["events_json_props"](spark, sf_dir),
+        [
+            ("JSON parse happens in the scan projection; stats are "
+             "map-side partial",
+             lambda p: "from_json" in p and "partial_count" in p),
+            ("scan pruned to event_type,props",
+             lambda p: "ReadSchema: struct<event_type:string,props:string>"
+             in p),
+        ],
+    )
+
+    audit(
         "events_gapfill",
         qs["events_gapfill"](spark, sf_dir),
         [
