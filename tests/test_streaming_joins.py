@@ -101,3 +101,40 @@ def test_stream_interval_join_state_is_bounded(spark, tmp_path):
     joined = interval_join_stream(l, r, on="user", window_secs=60)
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join — the dimension-enrichment pattern: a static
+    (broadcastable) dim joined into each micro-batch; unmatched stream
+    rows survive with nulls (left join), and the closed stream equals the
+    batch join."""
+    import pyspark.sql.functions as F
+
+    s_dir, d_dir = str(tmp_path / "s"), str(tmp_path / "dim")
+    out_dir, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+
+    rows = [("u1", _t(1), 1), ("u2", _t(2), 2), ("ux", _t(3), 3)]
+    spark.createDataFrame(rows, SCHEMA).write.parquet(s_dir)
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "basic"), ("u9", "gold")], "user string, tier string"
+    )
+    dim.write.parquet(d_dir)
+
+    static = F.broadcast(spark.read.parquet(d_dir))
+    stream = spark.readStream.schema(SCHEMA).parquet(s_dir)
+    q = (
+        stream.join(static, "user", "left")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user, r.event_id): r.tier
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {("u1", 1): "gold", ("u2", 2): "basic", ("ux", 3): None}
