@@ -577,6 +577,68 @@ def q_parse_nodes(spark, sf_dir):
     return exploded_nodes(parse_nodes(df))
 
 
+def q_extract_html_tables(spark, sf_dir):
+    """Structured extraction: HTML TABLES to relational rows. Each doc gets
+    a deterministic <table> (3 cells per <tr>, one word per <td>, up to 4
+    rows), the REAL parser kernel builds the flat node table, and the cell
+    grid (doc_id, row_idx, col_idx, cell_text) is reconstructed
+    RELATIONALLY from (node_id, pid) — the point being that the parser
+    output is an ordinary DataFrame you can join/window over, no tree
+    walking outside the kernel. row/col come from row_number() over
+    node_id order (tokenization order = document order, parity P1-P7)."""
+    from pyspark.sql import Window
+
+    from html_parser_spark.operators.parse import exploded_nodes, parse_nodes
+
+    w = "split(text, ' ')"
+    n_cells = f"least(12, (size({w}) div 3) * 3)"
+    cells = (
+        f"transform(slice({w}, 1, {n_cells}), (x, i) -> concat("
+        "case when i % 3 = 0 then '<tr>' else '' end, "
+        "'<td>', x, '</td>', "
+        "case when i % 3 = 2 then '</tr>' else '' end))"
+    )
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(f"concat('<table>', array_join({cells}, ''), '</table>')").alias(
+            "html"
+        ),
+    )
+    nodes = exploded_nodes(parse_nodes(df)).where("status = 'ok'")
+    trs = nodes.where("tag = 'tr'").select(
+        "doc_id",
+        F.col("node_id").alias("tr_id"),
+        (
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("node_id"))
+            .cast("int")
+            - 1
+        ).alias("row_idx"),
+    )
+    tds = nodes.where("tag = 'td'").select(
+        "doc_id",
+        F.col("node_id").alias("td_id"),
+        F.col("pid").alias("tr_id"),
+    )
+    texts = nodes.where("kind = 'Text'").select(
+        "doc_id", F.col("pid").alias("td_id"), F.col("content").alias("cell_text")
+    )
+    grid = (
+        tds.join(trs, ["doc_id", "tr_id"])
+        .join(texts, ["doc_id", "td_id"])
+        .withColumn(
+            "col_idx",
+            (
+                F.row_number()
+                .over(Window.partitionBy("doc_id", "tr_id").orderBy("td_id"))
+                .cast("int")
+                - 1
+            ),
+        )
+    )
+    return grid.select("doc_id", "row_idx", "col_idx", "cell_text")
+
+
 def q_extract_quirks(spark, sf_dir):
     """Reference quirks, end-to-end: entities NOT decoded, comments/CDATA/
     interpolation dropped, `]]` CDATA close, whitespace-only text kept."""
@@ -1448,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_nodes": q_parse_nodes,
         "parse_attrs": q_parse_attrs,
         "extract_quirks": q_extract_quirks,
+        "extract_html_tables": q_extract_html_tables,
         "diff_transform": q_diff_transform,
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
@@ -2419,6 +2482,21 @@ def oracle_sql() -> dict[str, str]:
                    'q' AS name, 'y' || doc_id AS value FROM d
             UNION ALL SELECT doc_id, 2, 1, 'removed', 'id', 'x' || doc_id FROM d
             UNION ALL SELECT doc_id, 2, 2, 'updated', 'class', 'b' FROM d
+        """,
+        "extract_html_tables": """
+            WITH wd AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(text, ' ') AS w,
+                     LEAST(12, (len(string_split(text, ' ')) // 3) * 3)
+                       AS n_cells
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((i - 1) // 3 AS INTEGER) AS row_idx,
+                   CAST((i - 1) % 3 AS INTEGER) AS col_idx,
+                   w[i] AS cell_text
+            FROM wd, LATERAL (SELECT unnest(generate_series(1, n_cells)) AS i)
+            WHERE n_cells > 0
         """,
         "extract_quirks": """
             WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)
