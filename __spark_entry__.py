@@ -254,6 +254,15 @@ def q_text_pii_redact(spark, sf_dir):
     return TXT.pii_redact(TXT.plant_pii(_docs(spark, sf_dir)))
 
 
+def q_text_card_redact(spark, sf_dir):
+    """Checksum-gated PII: 16-digit card candidates planted from md5
+    streams (Luhn-valid for even doc_ids, plus an always-invalid second
+    candidate every 4th doc); only candidates passing the Luhn checksum
+    redact to '<CARD>' — invalid digit runs must survive verbatim
+    (functions/text.plant_cards / card_redact)."""
+    return TXT.card_redact(TXT.plant_cards(_docs(spark, sf_dir)))
+
+
 def q_text_fingerprint(spark, sf_dir):
     return TXT.fingerprint(_docs(spark, sf_dir))
 
@@ -1486,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "text_pii_redact": q_text_pii_redact,
+        "text_card_redact": q_text_card_redact,
         "text_fingerprint": q_text_fingerprint,
         "text_topk_terms": q_text_topk_terms,
         "text_tfidf": q_text_tfidf,
@@ -1981,6 +1991,52 @@ def oracle_sql() -> dict[str, str]:
                               AND dup_word_permille <= 600
                          THEN 1 ELSE 0 END AS INTEGER) AS rep_ok
             FROM j
+        """,
+        "text_card_redact": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     lpad(CAST(CAST('0x' || substr(md5(text || 'card'), 1, 12)
+                          AS BIGINT) AS VARCHAR), 15, '0') AS p1,
+                     lpad(CAST(CAST('0x' || substr(md5(text || 'card'), 13, 12)
+                          AS BIGINT) AS VARCHAR), 15, '0') AS p2
+              FROM documents
+            ),
+            s AS (
+              SELECT *,
+                     list_sum(list_transform(string_split(p1, ''), (d, i) ->
+                       CASE WHEN i % 2 = 1 THEN
+                         CASE WHEN 2 * CAST(d AS INTEGER) > 9
+                              THEN 2 * CAST(d AS INTEGER) - 9
+                              ELSE 2 * CAST(d AS INTEGER) END
+                       ELSE CAST(d AS INTEGER) END)) AS s1,
+                     list_sum(list_transform(string_split(p2, ''), (d, i) ->
+                       CASE WHEN i % 2 = 1 THEN
+                         CASE WHEN 2 * CAST(d AS INTEGER) > 9
+                              THEN 2 * CAST(d AS INTEGER) - 9
+                              ELSE 2 * CAST(d AS INTEGER) END
+                       ELSE CAST(d AS INTEGER) END)) AS s2
+              FROM base
+            ),
+            cards AS (
+              SELECT doc_id, text, p1, p2,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN (10 - s1 % 10) % 10
+                          ELSE ((10 - s1 % 10) % 10 + 5) % 10 END AS c1,
+                     ((10 - s2 % 10) % 10 + 3) % 10 AS c2
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(1 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_candidates,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_valid,
+                   text || ' pay '
+                     || CASE WHEN doc_id % 2 = 0 THEN '<CARD>'
+                             ELSE p1 || CAST(c1 AS VARCHAR) END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' alt ' || p2 || CAST(c2 AS VARCHAR)
+                             ELSE '' END AS text_clean
+            FROM cards
         """,
         "text_pii_redact": """
             WITH p AS (

@@ -449,3 +449,78 @@ def phrase_search(docs: DataFrame, phrase: tuple = PHRASE) -> DataFrame:
         )
         .where("n_phrase > 0")
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card-number redaction
+# ---------------------------------------------------------------------------
+
+def luhn_sum_expr(digits: str) -> str:
+    """SQL expr: Luhn weighted digit sum of a digit-string expression as it
+    would sit LEFT-ALIGNED in a 16-digit number — 1-based odd positions
+    doubled (with 9-wrap). Works for the 15-digit payload (check digit
+    position 16 is even, weight 1) and for full 16-digit candidates."""
+    return (
+        f"aggregate(transform(split({digits}, ''), (d, i) -> "
+        "case when i % 2 = 0 then if(2 * cast(d as int) > 9, "
+        "2 * cast(d as int) - 9, 2 * cast(d as int)) "
+        "else cast(d as int) end), 0, (a, b) -> a + b)"
+    )
+
+
+# 15-digit payload from the fresh md5(text||'card') stream (12 hex chars
+# < 2.8e14, left-padded); a SECOND, always-invalid candidate for every
+# 4th doc from chars 13..24
+_CARD_PAYLOAD = (
+    "lpad(cast(conv(substr(md5(concat(text, 'card')), 1, 12), 16, 10) "
+    "as string), 15, '0')"
+)
+_CARD2_PAYLOAD = (
+    "lpad(cast(conv(substr(md5(concat(text, 'card')), 13, 12), 16, 10) "
+    "as string), 15, '0')"
+)
+
+
+def plant_cards(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_cards): append one 16-digit card-like number per doc —
+    Luhn-VALID for even doc_ids, invalid (check digit shifted by 5) for
+    odd — plus a second always-invalid candidate for every 4th doc. Same
+    md5-stream fixture style as plant_pii; the corpus alphabet ([a-z ])
+    guarantees no accidental digit runs."""
+    s1 = luhn_sum_expr(f"({_CARD_PAYLOAD})")
+    check_valid = f"(10 - ({s1}) % 10) % 10"
+    check = f"if(doc_id % 2 = 0, {check_valid}, ({check_valid} + 5) % 10)"
+    card1 = f"concat({_CARD_PAYLOAD}, cast({check} as string))"
+    s2 = luhn_sum_expr(f"({_CARD2_PAYLOAD})")
+    check2_bad = f"((10 - ({s2}) % 10) % 10 + 3) % 10"
+    card2 = (
+        f"if(doc_id % 4 = 0, concat(' alt ', {_CARD2_PAYLOAD}, "
+        f"cast({check2_bad} as string)), '')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"concat(text, ' pay ', {card1}, {card2})").alias("text_cards"),
+    )
+
+
+def card_redact(docs: DataFrame, text_col: str = "text_cards") -> DataFrame:
+    """Checksum-gated PII scrubbing: find 16-digit runs, validate each with
+    the Luhn checksum, and redact ONLY the valid ones to '<CARD>' — the
+    real-world card-redaction semantics (random digit runs must survive;
+    a blanket digit regex would mangle order ids, hashes, timestamps).
+
+    All JVM-side: regexp_extract_all proposes candidates, a transform
+    validates, and an aggregate fold string-replaces each valid candidate
+    — a narrow projection at 100 TB.
+
+    Returns (doc_id, n_candidates, n_valid, text_clean)."""
+    cands = f"regexp_extract_all({text_col}, '(^|[^0-9])([0-9]{{16}})($|[^0-9])', 2)"
+    valid = f"filter({cands}, c -> ({luhn_sum_expr('c')}) % 10 = 0)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({cands}) as int)").alias("n_candidates"),
+        F.expr(f"cast(size({valid}) as int)").alias("n_valid"),
+        F.expr(
+            f"aggregate({valid}, {text_col}, (t, c) -> replace(t, c, '<CARD>'))"
+        ).alias("text_clean"),
+    )
