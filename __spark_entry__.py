@@ -298,6 +298,30 @@ def q_source_warc(spark, sf_dir):
     )
 
 
+def q_source_jsonl(spark, sf_dir):
+    """JSONL ingestion with corrupt-record tolerance: serialize each doc
+    to a JSON line (to_json), corrupt every doc_id%10==7 line by
+    truncation, and parse back with strict-schema from_json — malformed
+    lines surface as null rows (counted, never raised), the
+    permissive-ingest contract every crawl pipeline needs. All JVM-side."""
+    lines = _docs(spark, sf_dir).select(
+        F.expr(
+            "case when doc_id % 10 = 7 "
+            "then substr(to_json(struct(doc_id, text)), 1, "
+            "     length(to_json(struct(doc_id, text))) - 2) "
+            "else to_json(struct(doc_id, text)) end"
+        ).alias("line")
+    )
+    parsed = lines.select(
+        F.expr("from_json(line, 'doc_id bigint, text string')").alias("r")
+    )
+    return parsed.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.expr("cast(r.doc_id is not null as int)").alias("parsed_ok"),
+        F.expr("cast(length(r.text) as int)").alias("text_len"),
+    )
+
+
 def q_text_bm25(spark, sf_dir):
     """Top-10 documents for the fixed query ('join','hash','scan') under
     log-free integer BM25 (functions/text.bm25_topk — zero wide shuffles:
@@ -1501,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_bm25_search": q_text_bm25,
         "source_warc_roundtrip": q_source_warc,
+        "source_jsonl_roundtrip": q_source_jsonl,
         "text_phrase_search": q_text_phrase,
         "decontaminate_overlap": q_decontaminate,
         "text_bigram_lm": q_text_bigram_lm,
@@ -2128,6 +2153,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len(s) AS INTEGER) AS n_phrase,
                    CAST(list_min(s) - 1 AS INTEGER) AS first_pos
             FROM ps WHERE len(s) > 0
+        """,
+        "source_jsonl_roundtrip": """
+            SELECT CASE WHEN doc_id % 10 = 7 THEN NULL ELSE doc_id END
+                     AS doc_id,
+                   CAST(doc_id % 10 <> 7 AS INTEGER) AS parsed_ok,
+                   CASE WHEN doc_id % 10 = 7 THEN NULL
+                        ELSE CAST(length(text) AS INTEGER) END AS text_len
+            FROM documents
         """,
         "source_warc_roundtrip": """
             SELECT doc_id,
