@@ -105,3 +105,35 @@ def test_spark_roundtrip_gzip(spark):
         (f"{W.URL_PREFIX}/s/1", "ok"),
         (f"{W.URL_PREFIX}/s/2", "ok"),
     ]
+
+
+def test_scanner_never_raises_on_garbage():
+    """Degrade-never-raise: arbitrary bytes — including planted version
+    markers, header fragments, and gzip magic — always scan to completion."""
+    import random
+
+    for seed in range(25):
+        rng = random.Random(seed)
+        chunks = []
+        for _ in range(rng.randint(1, 12)):
+            pick = rng.randint(0, 5)
+            if pick == 0:
+                chunks.append(b"WARC/1.0\r\n")
+            elif pick == 1:
+                chunks.append(b"Content-Length: " + str(rng.randint(-5, 99)).encode())
+            elif pick == 2:
+                chunks.append(b"\r\n\r\n")
+            elif pick == 3:
+                chunks.append(b"\x1f\x8b")
+            else:
+                chunks.append(bytes(rng.randint(0, 255) for _ in range(rng.randint(0, 40))))
+        blob = b"".join(chunks)
+        recs = list(W._scan_records(blob))  # must not raise
+        for r in recs:
+            assert r[5] in (
+                "ok",
+                "bad_header",
+                "truncated_payload",
+                "truncated_header",
+                "bad_terminator",
+            )
