@@ -21,7 +21,9 @@ import json
 import sys
 
 
-def main(argv=None) -> int:
+def main(argv=None, spark=None) -> int:
+    """CLI entry. Tests may inject an existing `spark` session — the job
+    then neither builds nor stops one."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet dir with (doc_id, spans[]) rows")
     ap.add_argument("--output", required=True)
@@ -43,10 +45,12 @@ def main(argv=None) -> int:
 
     from html_parser_spark.session import apply_scale_confs
 
-    spark = apply_scale_confs(
-        SparkSession.builder.appName("html-parser-spark-extract")
-    ).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    owns_session = spark is None
+    if owns_session:
+        spark = apply_scale_confs(
+            SparkSession.builder.appName("html-parser-spark-extract")
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
 
     if args.input:
         def factory():
@@ -80,7 +84,8 @@ def main(argv=None) -> int:
         "wall_sec": round(sum(r.duration_sec for r in results), 3),
     }
     print(json.dumps(summary))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
