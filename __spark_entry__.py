@@ -1266,6 +1266,61 @@ def q_events_rolling(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Funnel analysis — signup -> click -> purchase, each stage within 7
+    days of the previous, greedy-earliest semantics (stage k anchors on the
+    EARLIEST qualifying stage-(k-1) time; the standard product-analytics
+    funnel definition, deterministic on both engines).
+
+    Scale shape: ONE Exchange on user_id; the three stage times are
+    chained conditional window MINs over the same partitioning (each
+    stage's predicate references the previous stage's window result — a
+    projection chain, not a join chain)."""
+    from pyspark.sql import Window
+
+    ev = _events_utc(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_seconds(F.col("ts")).alias("tsec"),
+    )
+    wn = Window.partitionBy("user_id")
+    week = 7 * 86400
+    s1 = ev.withColumn(
+        "s1",
+        F.expr("min(case when event_type = 'signup' then tsec end)").over(wn),
+    )
+    s2 = s1.withColumn(
+        "s2",
+        F.expr(
+            "min(case when event_type = 'click' and tsec >= s1 "
+            f"and tsec <= s1 + {week} then tsec end)"
+        ).over(wn),
+    )
+    s3 = s2.withColumn(
+        "s3",
+        F.expr(
+            "min(case when event_type = 'purchase' and tsec >= s2 "
+            f"and tsec <= s2 + {week} then tsec end)"
+        ).over(wn),
+    )
+    return (
+        s3.groupBy("user_id")
+        .agg(
+            F.expr("cast(max(s1) as bigint)").alias("signup_s"),
+            F.expr("cast(max(s2) as bigint)").alias("click_s"),
+            F.expr("cast(max(s3) as bigint)").alias("purchase_s"),
+        )
+        .withColumn(
+            "stage_reached",
+            F.expr(
+                "cast(case when purchase_s is not null then 3 "
+                "when click_s is not null then 2 "
+                "when signup_s is not null then 1 else 0 end as int)"
+            ),
+        )
+    )
+
+
 def q_events_json_props(spark, sf_dir):
     """Schema-on-read over the semi-structured props column: `from_json`
     with an explicit schema (the strict API — malformed rows become null,
@@ -1573,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_value": q_events_rolling,
         "events_gapfill": q_events_gapfill,
         "events_json_props": q_events_json_props,
+        "events_funnel": q_events_funnel,
         "events_pivot_hourly": q_events_pivot,
         "events_rollup_totals": q_events_rollup,
         "events_quantiles": q_events_quantiles,
@@ -3070,6 +3126,46 @@ def oracle_sql() -> dict[str, str]:
                        AND o.o_orderdate < TIMESTAMP '2001-01-01')
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
             FROM customer c GROUP BY 1
+        """,
+        "events_funnel": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     epoch_us(ts) // 1000000 AS tsec
+              FROM events
+            ),
+            a AS (
+              SELECT *,
+                     MIN(CASE WHEN event_type = 'signup' THEN tsec END)
+                       OVER (PARTITION BY user_id) AS s1
+              FROM e
+            ),
+            b AS (
+              SELECT *,
+                     MIN(CASE WHEN event_type = 'click' AND tsec >= s1
+                              AND tsec <= s1 + 604800 THEN tsec END)
+                       OVER (PARTITION BY user_id) AS s2
+              FROM a
+            ),
+            c AS (
+              SELECT *,
+                     MIN(CASE WHEN event_type = 'purchase' AND tsec >= s2
+                              AND tsec <= s2 + 604800 THEN tsec END)
+                       OVER (PARTITION BY user_id) AS s3
+              FROM b
+            ),
+            g AS (
+              SELECT user_id,
+                     CAST(MAX(s1) AS BIGINT) AS signup_s,
+                     CAST(MAX(s2) AS BIGINT) AS click_s,
+                     CAST(MAX(s3) AS BIGINT) AS purchase_s
+              FROM c GROUP BY 1
+            )
+            SELECT *,
+                   CAST(CASE WHEN purchase_s IS NOT NULL THEN 3
+                             WHEN click_s IS NOT NULL THEN 2
+                             WHEN signup_s IS NOT NULL THEN 1
+                             ELSE 0 END AS INTEGER) AS stage_reached
+            FROM g
         """,
         "events_json_props": """
             WITH p AS (

@@ -338,6 +338,17 @@ def main() -> int:
     )
 
     audit(
+        "events_funnel",
+        qs["events_funnel"](spark, sf_dir),
+        [
+            ("ONE exchange on user_id: the three chained stage-min windows "
+             "and the final groupBy all share it — no join chain",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and "Join" not in p),
+        ],
+    )
+
+    audit(
         "events_json_props",
         qs["events_json_props"](spark, sf_dir),
         [
