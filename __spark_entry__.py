@@ -919,6 +919,19 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     )
 
 
+def q_pipeline_training_batches(spark, sf_dir):
+    """The full training-data prep composed into ONE plan
+    (operators/pipeline.training_batches): planted corpus -> wrap ->
+    extraction kernel -> reassembly -> quality gate -> exact-dedup
+    survivor window -> per-shard 512-token bin packing. One Python
+    crossing, two wide stages (md5 survivor window + shard pack window)."""
+    from html_parser_spark.operators.pipeline import training_batches
+
+    return training_batches(
+        interleaved_from_documents(DD.plant_dups(_docs(spark, sf_dir)))
+    )
+
+
 # integer money arithmetic shared by the TPC-H-style queries (mirrored
 # literally in the oracles): cents + ppm keep every product in int64 and
 # every division a deterministic floor — cross-engine bit-exact, where
@@ -1616,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mp4_meta": q_multimodal_mp4,
         "layout_pdf_text": q_layout_pdf,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pipeline_training_batches": q_pipeline_training_batches,
         "tpch_pricing_summary": q_tpch_pricing,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
@@ -2923,6 +2937,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_words >= 5 AND n_words <= 100000 AND maxw <= 40
               AND 3 * n_distinct >= n_words
             GROUP BY md5(rtext)
+        """,
+        "pipeline_training_batches": f"""
+            WITH {_CORPUS.strip()},
+            rec AS (
+              SELECT doc_id,
+                     array_to_string((string_split(text, ' '))[1:3], ' ')
+                       || ' ' || text || ' ' || text AS rtext
+              FROM corpus
+            ),
+            m AS (
+              SELECT doc_id, rtext,
+                     len(string_split(rtext, ' ')) AS n_words,
+                     len(list_distinct(string_split(rtext, ' '))) AS n_distinct,
+                     list_aggregate(list_transform(string_split(rtext, ' '),
+                                                   x -> length(x)), 'max') AS maxw,
+                     CAST(list_aggregate(list_transform(string_split(rtext, ' '),
+                            x -> (length(x) + 3) // 4), 'sum') AS BIGINT)
+                       AS n_tokens
+              FROM rec
+            ),
+            q AS (
+              SELECT * FROM m
+              WHERE n_words >= 5 AND n_words <= 100000 AND maxw <= 40
+                AND 3 * n_distinct >= n_words
+            ),
+            surv AS (
+              SELECT doc_id, n_tokens,
+                     MIN(doc_id) OVER (PARTITION BY md5(rtext)) AS rep
+              FROM q QUALIFY doc_id = rep
+            ),
+            sh AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens
+              FROM surv
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin_id,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) % 512 AS BIGINT) AS bin_offset
+            FROM sh
         """,
         "events_hourly": """
             SELECT event_type,

@@ -52,3 +52,46 @@ def clean_corpus(interleaved: DataFrame) -> DataFrame:
         F.min("doc_id").alias("rep_doc_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+def training_batches(
+    interleaved: DataFrame, bin_tokens: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """The FULL training-data prep as one composed plan: extraction ->
+    reassembly -> quality gate -> exact-dedup survivor selection -> token
+    packing into fixed bins. Output, one row per surviving document:
+      (doc_id, shard, n_tokens, bin_id, bin_offset)
+
+    Scale shape: one mapInArrow crossing (extraction) + TWO wide stages —
+    a window MIN over md5(text) picks each duplicate group's survivor
+    (no groupBy + join-back), and the per-shard cumulative token window
+    assigns bins (shard = doc_id % n_shards keeps the packing
+    deterministic AND bounded per partition; a trillion-doc run raises
+    n_shards, nothing else changes). Quality/token math reuses
+    functions/text.quality verbatim."""
+    from pyspark.sql import Window
+
+    ex = extract_spans(interleaved)
+    docs = reassembled_documents(ex)
+    kept = quality(docs, keep=("text",)).where(F.col("quality_ok") == 1)
+    surv = kept.withColumn(
+        "rep_doc_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).where("doc_id = rep_doc_id")
+    sharded = surv.select(
+        "doc_id",
+        F.expr(f"cast(doc_id % {n_shards} as int)").alias("shard"),
+        F.col("n_tokens_bpe").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sharded.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn("bin_id", F.expr(f"cast(div(cum_before, {bin_tokens}) as bigint)"))
+        .withColumn("bin_offset", F.expr(f"cast(cum_before % {bin_tokens} as bigint)"))
+        .select("doc_id", "shard", "n_tokens", "bin_id", "bin_offset")
+    )

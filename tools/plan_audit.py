@@ -338,6 +338,19 @@ def main() -> int:
     )
 
     audit(
+        "pipeline_training_batches",
+        qs["pipeline_training_batches"](spark, sf_dir),
+        [
+            ("one Python crossing for the whole composed pipeline",
+             lambda p: len(re.findall(r"\(\d+\) (MapInArrow|MapInPandas)\b", p)) == 1),
+            ("two wide stages: the md5 survivor window and the shard pack "
+             "window (no groupBy+join-back for survivor selection)",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+             and "Join" not in p),
+        ],
+    )
+
+    audit(
         "events_funnel",
         qs["events_funnel"](spark, sf_dir),
         [
