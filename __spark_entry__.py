@@ -1334,6 +1334,49 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix — the canonical growth-analytics query:
+    users grouped by first-activity week (cohort), counted distinct in
+    each subsequent week offset. TWO exchanges: the per-user first-week
+    window on user_id, then the (cohort, offset) distinct-count groupBy.
+    Weeks are integer epoch-days div 7 — engine-exact."""
+    from pyspark.sql import Window
+
+    ev = _events_utc(spark, sf_dir).select(
+        "user_id",
+        F.expr("cast(unix_seconds(ts) div 604800 as bigint)").alias("week"),
+    )
+    wn = Window.partitionBy("user_id")
+    cohorts = ev.withColumn("cohort_week", F.min("week").over(wn))
+    return (
+        cohorts.groupBy(
+            "cohort_week",
+            F.expr("cast(week - cohort_week as bigint)").alias("week_offset"),
+        )
+        .agg(F.expr("cast(count(distinct user_id) as bigint)").alias("n_users"))
+    )
+
+
+def q_events_scd2(spark, sf_dir):
+    """SCD-2 history build — change records to validity intervals: per
+    user, each event's value becomes current from its timestamp until the
+    next event (lead window), the last interval open-ended (null). ONE
+    Exchange on user_id; the dimension-table pattern every warehouse merge
+    implements."""
+    from pyspark.sql import Window
+
+    ev = _events_utc(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    return ev.withColumn(
+        "valid_to_us", F.lead("valid_from_us").over(w)
+    ).withColumn("is_current", F.expr("cast(valid_to_us is null as int)"))
+
+
 def q_events_json_props(spark, sf_dir):
     """Schema-on-read over the semi-structured props column: `from_json`
     with an explicit schema (the strict API — malformed rows become null,
@@ -1643,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "events_json_props": q_events_json_props,
         "events_funnel": q_events_funnel,
+        "events_retention_cohorts": q_events_retention,
+        "events_scd2_history": q_events_scd2,
         "events_pivot_hourly": q_events_pivot,
         "events_rollup_totals": q_events_rollup,
         "events_quantiles": q_events_quantiles,
@@ -3182,6 +3227,33 @@ def oracle_sql() -> dict[str, str]:
                        AND o.o_orderdate < TIMESTAMP '2001-01-01')
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
             FROM customer c GROUP BY 1
+        """,
+        "events_retention_cohorts": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 1000000 // 604800 AS BIGINT)
+                       AS week
+              FROM events
+            ),
+            c AS (
+              SELECT *, MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+              FROM e
+            )
+            SELECT cohort_week,
+                   CAST(week - cohort_week AS BIGINT) AS week_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM c GROUP BY 1, 2
+        """,
+        "events_scd2_history": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS valid_from_us,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+                   CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) IS NULL AS INTEGER)
+                     AS is_current
+            FROM events
         """,
         "events_funnel": """
             WITH e AS (

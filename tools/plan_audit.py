@@ -362,6 +362,28 @@ def main() -> int:
     )
 
     audit(
+        "events_retention_cohorts",
+        qs["events_retention_cohorts"](spark, sf_dir),
+        [
+            ("two exchanges: the per-user cohort window and the "
+             "(cohort, offset) distinct-count groupBy",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2),
+        ],
+    )
+
+    audit(
+        "events_scd2_history",
+        qs["events_scd2_history"](spark, sf_dir),
+        [
+            ("ONE exchange on user_id for the lead window; no join",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and "Join" not in p),
+            ("scan pruned to the four needed columns",
+             lambda p: "ReadSchema: struct<event_id:bigint,ts:timestamp" in p),
+        ],
+    )
+
+    audit(
         "events_json_props",
         qs["events_json_props"](spark, sf_dir),
         [
