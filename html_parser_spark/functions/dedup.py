@@ -296,6 +296,7 @@ def minhash_lsh_pairs(
     threshold_permille: int = JACCARD_THRESHOLD_PERMILLE,
     max_bucket: int = 10_000,
     observation=None,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection (the 100 TB scale path): banded bucket
     grouping proposes candidates, exact Jaccard verifies — restricted to the
@@ -406,15 +407,23 @@ def minhash_lsh_pairs(
     # cache barrier each side re-runs the whole semi-join subplan (AQE does
     # not reuse the exchanges here — observed 4 BroadcastExchanges, 2 full
     # array-table passes); the table is O(candidate docs), i.e. tiny
+    # broadcast_verify: at bench scale the candidate tables are kilobytes and
+    # the explicit hints keep the big array table from ever shuffling. At
+    # 10^12 docs the candidate set itself is large — a 1.2M-doc probe showed
+    # the broadcast's driver-side collect growing the pipeline's FIXED cost
+    # (BASELINE.md) — so a production run passes broadcast_verify=False and
+    # the same plan verifies via co-partitioned shuffle joins instead (output
+    # identical; pinned by test_dedup_metrics).
+    maybe_bcast = F.broadcast if broadcast_verify else (lambda df: df)
     cand_arr = (
-        garr.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        garr.join(maybe_bcast(cand_ids), "doc_id", "left_semi")
         .withColumn("sz", F.expr("cast(size(garr) as bigint)"))
         .persist()
     )
     ca, cb = cand_arr.alias("ca"), cand_arr.alias("cb")
     result = (
-        candidates.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
+        candidates.join(maybe_bcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(maybe_bcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

@@ -74,3 +74,23 @@ def test_fuzzy_join_cross_table_only(spark):
     # no within-table pairs, no unrelated pairs
     assert all(l < 100 and r >= 100 for l, r in got)
     assert not any(3 == l or r == 103 for l, r in got)
+
+
+def test_broadcast_verify_switch_identical_output(spark):
+    """broadcast_verify=False (the 10^12-doc verify shape: co-partitioned
+    shuffle joins, no driver-side candidate collect) returns exactly the
+    pairs the default broadcast form returns, and strips every broadcast
+    hint from the plan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = DD.plant_dups(docs)
+
+    def pairs(bv):
+        df = DD.minhash_lsh_pairs(corpus, broadcast_verify=bv)
+        rows = {tuple(r) for r in df.collect()}
+        hints = df._jdf.queryExecution().analyzed().toString().count("broadcast")
+        return rows, hints
+
+    with_b, hints_b = pairs(True)
+    without_b, hints_n = pairs(False)
+    assert with_b == without_b and len(with_b) > 0
+    assert hints_b > 0 and hints_n == 0
