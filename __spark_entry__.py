@@ -1611,6 +1611,45 @@ def q_sketch_hll_user_minutes(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Driver-unverified-in-r03 entries FIRST (VERDICT r03 item 1):
+        # the driver samples a prefix of this dict; these 35 had no
+        # CORRECTNESS_r03 row. The 50 below have standing r03 rows.
+        "multimodal_png_decode": q_multimodal_png,
+        "multimodal_gif_decode": q_multimodal_gif,
+        "multimodal_gif_frames": q_multimodal_gif_frames,
+        "multimodal_jpeg_decode": q_multimodal_jpeg,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+        "multimodal_audio_meta": q_multimodal_audio,
+        "multimodal_video_frames": q_multimodal_video,
+        "multimodal_mp3_meta": q_multimodal_mp3,
+        "multimodal_mp4_meta": q_multimodal_mp4,
+        "layout_pdf_text": q_layout_pdf,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pipeline_training_batches": q_pipeline_training_batches,
+        "tpch_pricing_summary": q_tpch_pricing,
+        "tpch_top_orders": q_tpch_top_orders,
+        "tpch_regional_revenue": q_tpch_regional_revenue,
+        "tpch_late_orders": q_tpch_late_orders,
+        "tpch_inactive_customers": q_tpch_inactive_customers,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_asof_attribution": q_events_asof,
+        "events_error_burst": q_events_error_burst,
+        "events_rolling_value": q_events_rolling,
+        "events_gapfill": q_events_gapfill,
+        "events_json_props": q_events_json_props,
+        "events_funnel": q_events_funnel,
+        "events_retention_cohorts": q_events_retention,
+        "events_scd2_history": q_events_scd2,
+        "events_pivot_hourly": q_events_pivot,
+        "events_rollup_totals": q_events_rollup,
+        "events_quantiles": q_events_quantiles,
+        "events_hist_quantiles": q_events_hist_quantiles,
+        "events_mad_outliers": q_events_mad_outliers,
+        "layout_zorder_stats": q_layout_zorder,
+        "sketch_hll_users": q_sketch_hll_users,
+        "sketch_hll_user_minutes": q_sketch_hll_user_minutes,
+        # --- standing driver-green rows from CORRECTNESS_r03 ---
         "extract_flagship": q_extract_flagship,
         "extract_errors": q_extract_errors,
         "extract_metrics": q_extract_metrics,
@@ -1661,41 +1700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
-        "multimodal_png_decode": q_multimodal_png,
-        "multimodal_gif_decode": q_multimodal_gif,
-        "multimodal_gif_frames": q_multimodal_gif_frames,
-        "multimodal_jpeg_decode": q_multimodal_jpeg,
-        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
-        "multimodal_audio_meta": q_multimodal_audio,
-        "multimodal_video_frames": q_multimodal_video,
-        "multimodal_mp3_meta": q_multimodal_mp3,
-        "multimodal_mp4_meta": q_multimodal_mp4,
-        "layout_pdf_text": q_layout_pdf,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "pipeline_training_batches": q_pipeline_training_batches,
-        "tpch_pricing_summary": q_tpch_pricing,
-        "tpch_top_orders": q_tpch_top_orders,
-        "tpch_regional_revenue": q_tpch_regional_revenue,
-        "tpch_late_orders": q_tpch_late_orders,
-        "tpch_inactive_customers": q_tpch_inactive_customers,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "events_asof_attribution": q_events_asof,
-        "events_error_burst": q_events_error_burst,
-        "events_rolling_value": q_events_rolling,
-        "events_gapfill": q_events_gapfill,
-        "events_json_props": q_events_json_props,
-        "events_funnel": q_events_funnel,
-        "events_retention_cohorts": q_events_retention,
-        "events_scd2_history": q_events_scd2,
-        "events_pivot_hourly": q_events_pivot,
-        "events_rollup_totals": q_events_rollup,
-        "events_quantiles": q_events_quantiles,
-        "events_hist_quantiles": q_events_hist_quantiles,
-        "events_mad_outliers": q_events_mad_outliers,
-        "layout_zorder_stats": q_layout_zorder,
-        "sketch_hll_users": q_sketch_hll_users,
-        "sketch_hll_user_minutes": q_sketch_hll_user_minutes,
     }
 
 

@@ -94,13 +94,17 @@ def main() -> None:
     # each has a scale-path twin): annotated so the sweep headline separates
     # scale-path kernels from reference baselines
     reference_paths = {"dedup_ngram_jaccard"}
-    # min-of-2 passes per query, same methodology as the headline's
-    # warm-up + min-of-3: the first pass of a query pays one-time codegen /
-    # JIT for its generated classes (~3 s for the deepest plans), which is
-    # session noise, not kernel cost
+    # warm-up + min-of-2 passes per query (same methodology as the headline's
+    # warm-up + min-of-3): the first execution of a query pays one-time
+    # codegen / Python-worker spawn for its generated classes (~3-8 s for the
+    # deepest media plans) — min-of-2 WITHOUT a warm-up let that stand as the
+    # recorded wall when the sweep ran cold (BENCH_r03's 5.1 s image-decode
+    # cell vs 1.1 s warm; VERDICT r03 item 2), so the untimed warm-up pass is
+    # load-bearing
     q_times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         try:
+            noop(fn(spark, sf_dir))  # warm-up: codegen + worker spawn
             best = None
             for _ in range(2):
                 t0 = time.time()

@@ -7,13 +7,18 @@ frames, so a DuckDB HUGEINT surfacing as float64 fails the driver even
 when every value matches — the text_tfidf bug class; DESCRIBE catches it
 here without re-running the query).
 
-Usage: PYTHONPATH=/root/repo python tools/gate_check.py [sf_dir] [query ...]
-With no arguments, runs BOTH sf0.01 and sf0.1 (type drift and int64
-headroom bugs only show up under typed hashing or bigger data).
+Usage: PYTHONPATH=/root/repo python tools/gate_check.py [--json OUT] [sf_dir] [query ...]
+With no positional arguments, runs BOTH sf0.01 and sf0.1 (type drift and
+int64 headroom bugs only show up under typed hashing or bigger data).
+--json OUT additionally writes a driver-style correctness record per query
+(rows_match / schema_match / hash_match / spark_rows / oracle_rows / err,
+keyed by query name; multi-sf runs record the worst cell per query) so each
+round can ship a corroborating CORRECTNESS_local.json artifact.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -79,12 +84,32 @@ def type_drift(spark_df, con, sql) -> list[str]:
     return out
 
 
-def run_gate(spark, sf_dir: str, only: set[str]) -> int:
+def run_gate(spark, sf_dir: str, only: set[str], records: dict | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    def record(name, **kw):
+        if records is None:
+            return
+        rec = {
+            "rows_match": kw.get("rows_match", False),
+            "schema_match": kw.get("schema_match", False),
+            "hash_match": kw.get("hash_match", False),
+            "spark_rows": kw.get("spark_rows"),
+            "oracle_rows": kw.get("oracle_rows"),
+            "err": kw.get("err"),
+        }
+        prev = records.get(name)
+        # multi-sf runs keep the WORST cell per query (a pass at one sf must
+        # not mask a failure at the other)
+        if prev is None or (
+            (prev["rows_match"], prev["schema_match"], prev["hash_match"])
+            > (rec["rows_match"], rec["schema_match"], rec["hash_match"])
+        ):
+            records[name] = rec
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -99,12 +124,21 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> int:
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
+            record(name, err=f"spark {type(e).__name__}: {str(e)[:200]}")
             failures += 1
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(rows)} rows, {time.time()-t0:.1f}s)")
             if len(rows) == 0:
                 print(f"WARN {name}: zero rows")
+            record(
+                name,
+                rows_match=len(rows) > 0,
+                schema_match=True,
+                hash_match=False,
+                spark_rows=len(rows),
+                err=None if rows else "zero rows (rows-only check)",
+            )
             continue
         try:
             res = con.execute(oracles[name])
@@ -112,21 +146,37 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> int:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {str(e)[:300]}")
+            record(name, spark_rows=len(rows), err=f"duckdb {type(e).__name__}: {str(e)[:200]}")
             failures += 1
             continue
         problems = []
-        if sorted(cols) != sorted(ocols):
+        schema_ok = sorted(cols) == sorted(ocols)
+        if not schema_ok:
             problems.append(f"columns {sorted(cols)} != {sorted(ocols)}")
-        problems += [f"type drift: {d}" for d in type_drift(df, con, oracles[name])]
-        if len(rows) != len(orows):
+        drift = type_drift(df, con, oracles[name])
+        schema_ok = schema_ok and not drift
+        problems += [f"type drift: {d}" for d in drift]
+        rows_ok = len(rows) == len(orows)
+        if not rows_ok:
             problems.append(f"rowcount {len(rows)} != {len(orows)}")
+        hash_ok = False
         if not problems:
             a = rows_to_multiset(cols, rows)
             b = rows_to_multiset(ocols, orows)
-            if a != b:
+            hash_ok = a == b
+            if not hash_ok:
                 diff_a = [x for x in a if x not in set(b)][:3]
                 diff_b = [x for x in b if x not in set(a)][:3]
                 problems.append(f"values differ; spark-only={diff_a} oracle-only={diff_b}")
+        record(
+            name,
+            rows_match=rows_ok,
+            schema_match=schema_ok,
+            hash_match=hash_ok,
+            spark_rows=len(rows),
+            oracle_rows=len(orows),
+            err=" | ".join(problems) or None,
+        )
         if problems:
             failures += 1
             print(f"FAIL {name}: " + " | ".join(problems))
@@ -136,9 +186,15 @@ def run_gate(spark, sf_dir: str, only: set[str]) -> int:
 
 
 def main():
-    if len(sys.argv) > 1:
-        sf_dirs = [sys.argv[1]]
-        only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if argv:
+        sf_dirs = [argv[0]]
+        only = set(argv[1:])
     else:
         sf_dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
         only = set()
@@ -162,11 +218,16 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     failures = 0
+    records: dict | None = {} if json_out else None
     for sf_dir in sf_dirs:
         if len(sf_dirs) > 1:
             print(f"== {sf_dir} ==")
-        failures += run_gate(spark, sf_dir, only)
+        failures += run_gate(spark, sf_dir, only, records)
     spark.stop()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {len(records or {})} records to {json_out}")
     print(f"\n{failures} failures")
     sys.exit(1 if failures else 0)
 
