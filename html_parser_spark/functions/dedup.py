@@ -289,6 +289,23 @@ def lsh_band_keys(
     )
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold as plain bytes (the conf
+    accepts '10MB' / '10485760b' / bare numbers; -1 = broadcast disabled)."""
+    s = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    s = s.strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    n = int(s)
+    return n * mult if n >= 0 else 0
+
+
 def minhash_lsh_pairs(
     corpus: DataFrame,
     k: int = MINHASH_K,
@@ -296,7 +313,7 @@ def minhash_lsh_pairs(
     threshold_permille: int = JACCARD_THRESHOLD_PERMILLE,
     max_bucket: int = 10_000,
     observation=None,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection (the 100 TB scale path): banded bucket
     grouping proposes candidates, exact Jaccard verifies — restricted to the
@@ -329,7 +346,13 @@ def minhash_lsh_pairs(
         arrays, attached via one broadcast semi-join + one broadcast hash
         join per side (the two BroadcastExchanges are identical subplans, so
         Spark reuses one): the corpus-wide shingle set is never shuffled and
-        never joined wide. Cost O(candidate docs x shingles).
+        never joined wide. Cost O(candidate docs x shingles);
+      - verify-path selection is AUTOMATIC (broadcast_verify=None): the
+        candidate tables are sized against the session's
+        autoBroadcastJoinThreshold and the verify joins fall back to
+        co-partitioned shuffle joins when the candidate set outgrows a
+        broadcast — the driver-side collect term stays bounded at any
+        corpus size. Pass True/False to force a path.
     Mega-doc caveat: the per-doc array form assumes a bounded document size
     (the extraction pipeline upstream enforces this); for pathological
     single-doc shingle sets beyond executor row limits, the exploded
@@ -411,15 +434,43 @@ def minhash_lsh_pairs(
     # the explicit hints keep the big array table from ever shuffling. At
     # 10^12 docs the candidate set itself is large — a 1.2M-doc probe showed
     # the broadcast's driver-side collect growing the pipeline's FIXED cost
-    # (BASELINE.md) — so a production run passes broadcast_verify=False and
-    # the same plan verifies via co-partitioned shuffle joins instead (output
-    # identical; pinned by test_dedup_metrics).
-    maybe_bcast = F.broadcast if broadcast_verify else (lambda df: df)
+    # (BASELINE.md) — so large candidate sets must verify via co-partitioned
+    # shuffle joins instead (output identical; pinned by test_dedup_metrics).
+    # broadcast_verify=None (the default) AUTO-SWITCHES: it sizes the
+    # candidate tables with bounded actions on the already-persisted
+    # intermediates (the verify plan consumes both caches anyway, so the
+    # stats passes add no extra heavy compute) and broadcasts only while the
+    # estimate fits the session's autoBroadcastJoinThreshold. True/False
+    # force one path (tests pin that both produce identical pairs). Auto
+    # makes the call EAGER at the candidate stage — acceptable for a
+    # pipeline-terminal operator whose callers all act on the result.
+    auto = broadcast_verify is None
+    if auto:
+        thr = _broadcast_threshold_bytes(corpus.sparkSession)
+        # candidate-id bytes: 2 id slots per pair, ~48 B per slot (string ids
+        # + row overhead) — the semi-join build side
+        n_pairs = candidates.count()
+        bcast_ids = 2 * n_pairs * 48 <= thr
+    else:
+        bcast_ids = broadcast_verify
+    maybe_bcast_ids = F.broadcast if bcast_ids else (lambda df: df)
     cand_arr = (
-        garr.join(maybe_bcast(cand_ids), "doc_id", "left_semi")
+        garr.join(maybe_bcast_ids(cand_ids), "doc_id", "left_semi")
         .withColumn("sz", F.expr("cast(size(garr) as bigint)"))
         .persist()
     )
+    if auto:
+        # candidate-array bytes: 8 B per shingle hash + ~56 B per row — the
+        # verify-join build side (the driver-collect term that grew F in the
+        # 1.2M-doc probe). One agg over the persisted table it warms.
+        st = cand_arr.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("sz"), F.lit(0)).alias("slots"),
+        ).collect()[0]
+        bcast_arr = st["slots"] * 8 + st["n"] * 56 <= thr
+    else:
+        bcast_arr = broadcast_verify
+    maybe_bcast = F.broadcast if bcast_arr else (lambda df: df)
     ca, cb = cand_arr.alias("ca"), cand_arr.alias("cb")
     result = (
         candidates.join(maybe_bcast(ca), F.col("doc_a") == F.col("ca.doc_id"))

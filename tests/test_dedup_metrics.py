@@ -94,3 +94,50 @@ def test_broadcast_verify_switch_identical_output(spark):
     without_b, hints_n = pairs(False)
     assert with_b == without_b and len(with_b) > 0
     assert hints_b > 0 and hints_n == 0
+
+
+def test_auto_verify_path_switches_on_threshold(spark):
+    """broadcast_verify=None sizes the candidate tables against the session's
+    autoBroadcastJoinThreshold: the default 10MB threshold picks the broadcast
+    plan at fixture scale; a 1-byte threshold forces the shuffle-join twin.
+    Both return identical pairs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = DD.plant_dups(docs)
+
+    def pairs_auto():
+        df = DD.minhash_lsh_pairs(corpus)  # default = auto
+        rows = {tuple(r) for r in df.collect()}
+        hints = df._jdf.queryExecution().analyzed().toString().count("broadcast")
+        return rows, hints
+
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(thr_key)
+    rows_big, hints_big = pairs_auto()
+    try:
+        spark.conf.set(thr_key, "1b")
+        rows_tiny, hints_tiny = pairs_auto()
+    finally:
+        spark.conf.set(thr_key, old)
+    assert rows_big == rows_tiny and len(rows_big) > 0
+    assert hints_big > 0 and hints_tiny == 0
+
+
+def test_broadcast_threshold_parse():
+    class _FakeConf:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, key, default=None):
+            return self.v
+
+    class _FakeSpark:
+        def __init__(self, v):
+            self.conf = _FakeConf(v)
+
+    f = DD._broadcast_threshold_bytes
+    assert f(_FakeSpark("10485760b")) == 10 * 1024**2
+    assert f(_FakeSpark("10MB")) == 10 * 1024**2
+    assert f(_FakeSpark("512k")) == 512 * 1024
+    assert f(_FakeSpark("1g")) == 1024**3
+    assert f(_FakeSpark("1048576")) == 1024**2
+    assert f(_FakeSpark("-1")) == 0  # broadcast disabled -> never broadcast

@@ -6,15 +6,17 @@ reports throughput at both plus scaling efficiency
   eff = throughput(4N) / (4 * throughput(N))
 per operator, and writes BENCH_SCALING.json.
 
-THREE operators are measured so non-extract kernels can't regress unseen:
+FOUR operators are measured so non-extract kernels can't regress unseen:
   extract  the shuffle-free extraction kernel over the interleaved table
   parse    the full-tree parse kernel (same table, wrap html projected out)
   minhash  MinHash+LSH dedup over a synthetic distinct-text documents table
-           (the shuffle-heavy case: groupBy signatures + band join + verify
-           join). Texts are per-doc-distinct md5 soup with a 2% planted
-           exact-dup rate — amplifying REAL docs would make every copy pair
-           a near-dup and benchmark a quadratic pair explosion instead of
-           the pipeline.
+           (the shuffle-heavy case: bucket groupBy + pair distinct + auto
+           verify path). Texts are per-doc-distinct md5 soup with a 2%
+           planted exact-dup rate — amplifying REAL docs would make every
+           copy pair a near-dup and benchmark a quadratic pair explosion
+           instead of the pipeline.
+  spans    repeated-span mining over the same documents table (the
+           window-heavy 2-exchange class the events analytics share)
 
 Per-size wall = MEDIAN of all trials across the interleaved rounds — the
 statistic the BASELINE.md protocol specifies ("median of >=3 runs"), and the
@@ -63,7 +65,7 @@ def main() -> int:
     # corpus — at real corpus sizes walls are minutes and the floor
     # vanishes). Sized so an N invocation stays ~4-5 min.
     ap.add_argument("--minhash-docs", type=int, default=600_000)
-    ap.add_argument("--ops", default="extract,parse,minhash")
+    ap.add_argument("--ops", default="extract,parse,minhash,spans")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--workdir", default="/tmp/scaling_bench")
     ap.add_argument(
@@ -135,7 +137,7 @@ spark.stop()
                         "--py-files", engine_zip,
                         f"{REPO}/jobs/bench_extract.py",
                         "--op", op,
-                        "--input", docs_dir if op == "minhash" else interleaved_dir,
+                        "--input", docs_dir if op in ("minhash", "spans") else interleaved_dir,
                         # uniform corpus: no salt exchange (skew defense is a
                         # separate, correctness-tested path)
                         "--partitions", "0",
