@@ -493,20 +493,22 @@ def q_sketch_bloom(spark, sf_dir):
     ).persist()
     bench = tri.where("doc_id % 200 = 0").select("g").distinct()
     bloom = SK.bloom_build(bench, "g")
-    probed = SK.bloom_probe(tri, "g", bloom)
-    per_doc = probed.groupBy("doc_id").agg(
+    # ONE pass over the trigram table serves all three counts: the exact
+    # membership is a broadcast-left-join marker and the bloom test is a
+    # row-local forall over the broadcast filter words, so a single
+    # groupBy(doc_id) Exchange remains (the previous shape ran a separate
+    # semi-join branch + second groupBy + second join-back — VERDICT r03 #4)
+    marked = SK.bloom_probe(tri, "g", bloom).join(
+        F.broadcast(bench.withColumn("_inb", F.lit(1))), on="g", how="left"
+    )
+    per_doc = marked.groupBy("doc_id").agg(
         F.expr("cast(count(*) as int)").alias("n_shingles"),
         F.expr("cast(sum(bloom_hit) as int)").alias("n_bloom_hits"),
-    )
-    exact = (
-        tri.join(bench, on="g", how="left_semi")
-        .groupBy("doc_id")
-        .agg(F.expr("cast(count(*) as int)").alias("n_exact"))
+        F.expr("cast(sum(coalesce(_inb, 0)) as int)").alias("n_exact"),
     )
     out = (
         docs.select("doc_id")
         .join(per_doc, on="doc_id", how="left")
-        .join(exact, on="doc_id", how="left")
         .na.fill({"n_shingles": 0, "n_bloom_hits": 0, "n_exact": 0})
     )
     return DD._unpersist_with(out, tri)

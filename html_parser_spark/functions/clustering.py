@@ -16,12 +16,13 @@ Determinism recipe (each step is exact or a single IEEE op):
      identical operation sequence, hence identical last-ulp results.
   4. argmin tie-breaks on (dist, cid) — total order, no engine choice.
 
-Scale posture: seeds/centroids are k rows — BROADCAST to the assignment
-step (a map-side nested loop of k distance folds per row, no shuffle of
-the corpus); the update is a map-side-combinable groupBy(cid) over 64
-per-dim sums (k x 64 numbers of state per executor). Per iteration the
-corpus is read once and shuffles only the k x 64 partials + one window
-pass for the argmin. Fixed iteration count keeps the plan finite (lineage
+Scale posture: seeds/centroids are k rows — collapsed into ONE broadcast
+array row for the assignment step, whose argmin is a ROW-LOCAL
+array_min-over-structs expression (no window, no k-fold row expansion —
+the corpus NEVER shuffles); the update is a map-side-combinable
+groupBy(cid) over 64 per-dim sums (k x 64 numbers of state per
+executor). Per iteration the corpus is read once and shuffles only the
+k x 64 partials. Fixed iteration count keeps the plan finite (lineage
 grows per round — at production depth, localCheckpoint per round like
 functions/dedup.connected_components). Seeds are the first k vec_ids
 (deterministic); k-means|| sampling would slot in as a seed provider.
@@ -53,16 +54,26 @@ def quantized_vectors(embs: DataFrame, col: str = "embedding") -> DataFrame:
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast the k centroids, fold the
-    distance JVM-side, argmin by (dist, cid)."""
-    pairs = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "dist", F.expr(SQDIST.format(a="codes", b="cent"))
+    """Nearest centroid per vector: the k centroids collapse into ONE
+    broadcast array row, and the argmin is a ROW-LOCAL expression —
+    array_min over struct(dist, cid), whose lexicographic struct ordering
+    IS the (dist, cid) tie-break the oracle's row_number uses. No k-fold
+    row expansion, no window, no per-round corpus Exchange (the previous
+    window form shuffled the k-expanded corpus on vec_id every round —
+    3 corpus shuffles per kmeans call; this form has zero)."""
+    carr = cents.agg(F.collect_list(F.struct("cid", "cent")).alias("cs"))
+    best = (
+        "array_min(transform(cs, c -> struct("
+        + SQDIST.format(a="codes", b="c.cent")
+        + " as dist, c.cid as cid)))"
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where("rk = 1")
-        .select("vec_id", "codes", "cid", "dist")
+        vecs.crossJoin(F.broadcast(carr))
+        .select("vec_id", "codes", F.expr(best).alias("_b"))
+        .select(
+            "vec_id", "codes", F.col("_b.cid").alias("cid"),
+            F.col("_b.dist").alias("dist"),
+        )
     )
 
 
@@ -83,7 +94,10 @@ def _update(assigned: DataFrame, seeds: DataFrame, dim: int) -> DataFrame:
             *[F.col(f"s{d}") / F.col("n").cast("double") for d in range(dim)]
         ).alias("new_cent"),
     )
-    return seeds.join(new_cent, on="cid", how="left").select(
+    # broadcast: both sides are k rows, but without the hint the planner
+    # saw unsized aggregation outputs and planned a SortMergeJoin per round
+    # (two sort stages over 8 rows — pure plan-depth cost, VERDICT r03 #4)
+    return seeds.join(F.broadcast(new_cent), on="cid", how="left").select(
         "cid", F.coalesce("new_cent", "cent").alias("cent")
     )
 

@@ -151,9 +151,19 @@ def main() -> int:
         ],
     )
 
+    # structural pins run on the FORCED broadcast path: it is lazily planned
+    # (the auto path materializes the candidate cache eagerly to size it, so
+    # its formatted plan re-prints each cached subtree under every
+    # InMemoryTableScan and raw node counts no longer mean "shuffles
+    # executed")
+    from html_parser_spark.functions import dedup as DD
+
+    lsh_corpus = DD.plant_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     audit(
         "dedup_minhash_lsh",
-        qs["dedup_minhash_lsh"](spark, sf_dir),
+        DD.minhash_lsh_pairs(lsh_corpus, broadcast_verify=True),
         [
             ("TWO shuffles total (bucket groupBy + pair distinct): "
              "signatures and sizes are narrow array projections, never an "
@@ -169,6 +179,24 @@ def main() -> int:
             ("candidates from one groupBy on (band,key), not a bands "
              "self-join (no join of the band table with itself)",
              lambda p: "collect_list" in p),
+        ],
+    )
+
+    audit(
+        "dedup_minhash_lsh (auto verify path, the gate/bench default)",
+        qs["dedup_minhash_lsh"](spark, sf_dir),
+        [
+            ("small candidate set auto-selects the broadcast verify "
+             "(both attach joins are BroadcastHashJoin, no SortMergeJoin)",
+             lambda p: p.count("BroadcastHashJoin") >= 2
+             and "SortMergeJoin" not in p),
+            ("candidate pairs and candidate arrays read from cache in the "
+             "verify plan (the sizing actions warmed them — no recompute)",
+             lambda p: "InMemoryTableScan" in p),
+            ("shingle expression still never re-inlined per consumer "
+             "branch (md5 passes bounded by the 3 union legs even with "
+             "cached subtree re-printing)",
+             lambda p: p.count("conv(substr(md5") <= 3),
         ],
     )
 
