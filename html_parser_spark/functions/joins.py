@@ -114,10 +114,17 @@ def range_join_count(
     own band b and the next (b+1) — any left row it can serve lives in one
     of those two — so the join is a plain (key, band) hash join with exact
     micros filtering after. No inequality join, no per-key cartesian.
+
+    Fully duplicate left rows each keep their own output row (the count
+    re-group keys on a per-row id, not the column values).
     """
     w_us = window_secs * US_PER_SEC
     l_us = F.unix_micros(F.col(ts))
-    lb = left.withColumn("_band", F.floor(l_us / F.lit(w_us)))
+    # per-row identity: grouping on the left columns alone would collapse
+    # fully duplicate left rows into one row with a doubled count
+    lb = left.withColumn("_lrow", F.monotonically_increasing_id()).withColumn(
+        "_band", F.floor(l_us / F.lit(w_us))
+    )
 
     r_us = F.unix_micros(F.col(ts))
     rb = (
@@ -138,7 +145,8 @@ def range_join_count(
         F.when((dt >= 0) & (dt <= F.lit(w_us)), F.lit(1)).otherwise(F.lit(0)),
     )
     return (
-        joined.groupBy(*[F.col(c) for c in left.columns])
+        joined.groupBy("_lrow", *[F.col(c) for c in left.columns])
         .agg(F.sum("_hit").cast("int").alias(count_alias))
+        .drop("_lrow")
         .na.fill({count_alias: 0})
     )

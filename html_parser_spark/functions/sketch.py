@@ -304,14 +304,17 @@ def histogram_quantiles(
     Output: group cols + n (bigint) + hq{p}_cents (bigint, the UPPER EDGE
     of the bin where the p-permille order statistic falls — within one
     bin width of the exact value). Values beyond the histogram range
-    clamp into the last bin."""
+    clamp into the first/last bin (negatives included — bin edges never
+    overlap)."""
     from pyspark.sql import Window
 
     groups = list(group_cols)
+    # clamp BOTH ends: negative values would otherwise produce negative
+    # bins via truncating div (overlapping edges around zero)
     binned = df.selectExpr(
         *groups,
-        f"least(cast(({cents_expr}) div {HIST_BIN_CENTS} as int), "
-        f"{HIST_N_BINS - 1}) as bin",
+        f"greatest(least(cast(({cents_expr}) div {HIST_BIN_CENTS} as int), "
+        f"{HIST_N_BINS - 1}), 0) as bin",
     )
     cells = binned.groupBy(*groups, "bin").agg(
         F.expr("cast(count(*) as bigint)").alias("cnt")

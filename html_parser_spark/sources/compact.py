@@ -44,7 +44,7 @@ def compact_parquet(
             os.path.join(input_dir, f), os.path.join(output_dir, f)
         )
 
-    n_out = 0
+    n_moved = 0
     small_bytes = sum(sizes[f] for f in small)
     if small:
         n_out = max(1, math.ceil(small_bytes / target_bytes))
@@ -54,18 +54,21 @@ def compact_parquet(
         # standard part-* naming, so the dir stays one readable dataset
         tmp = output_dir.rstrip("/") + "._compact_tmp"
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        # count the part files actually moved, not the n_out estimate —
+        # empty partitions (row count < n_out) write fewer files
         for f in os.listdir(tmp):
             if f.endswith(".parquet"):
                 shutil.move(
                     os.path.join(tmp, f), os.path.join(output_dir, "compact-" + f)
                 )
+                n_moved += 1
         shutil.rmtree(tmp)
 
     return {
         "files_in": len(files),
         "files_kept": len(big),
         "files_rewritten": len(small),
-        "files_out": len(big) + n_out,
+        "files_out": len(big) + n_moved,
         "bytes_passed_through": sum(sizes[f] for f in big),
         "bytes_rewritten": small_bytes,
     }

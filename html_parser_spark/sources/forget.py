@@ -26,6 +26,12 @@ def forget_keys(
     record."""
     from pyspark.sql import functions as F
 
+    # materialize once: a generator argument would be exhausted by the
+    # DataFrame build and silently record n_subjects=0 in the audit record
+    keys = list(keys)
+    if os.path.abspath(output_path) == os.path.abspath(table_path):
+        raise ValueError("output_path must differ from table_path (the "
+                         "erasure rewrite is not in-place)")
     df = spark.read.parquet(table_path)
     subjects = spark.createDataFrame(
         [(k,) for k in keys], f"{key_col} {df.schema[key_col].dataType.simpleString()}"
@@ -37,7 +43,7 @@ def forget_keys(
     return {
         "table": os.path.basename(table_path.rstrip("/")),
         "key_col": key_col,
-        "n_subjects": len(list(keys)),
+        "n_subjects": len(keys),
         "rows_before": before,
         "rows_after": after,
         "rows_removed": before - after,

@@ -92,6 +92,20 @@ def test_range_join_count_matches_bruteforce(spark):
     assert all(v == 0 for (k, _), v in got.items() if k == 2)
 
 
+def test_range_join_count_keeps_duplicate_left_rows(spark):
+    # two IDENTICAL left rows must each produce their own output row with
+    # the true count — not collapse into one row with a doubled count
+    # (ADVICE r03: the old form grouped on the left column values)
+    lrows = [(1, _t(10), 0), (1, _t(10), 0), (1, _t(40), 0)]
+    rrows = [(1, _t(8), 0), (1, _t(9), 0)]
+    out = J.range_join_count(
+        _df(spark, lrows), _df(spark, rrows), on="k", window_secs=7
+    ).collect()
+    assert len(out) == 3
+    counts = sorted(r.n_in_range for r in out)
+    assert counts == [0, 2, 2]
+
+
 def test_asof_plan_has_single_exchange(spark):
     left = _df(spark, [(1, _t(10), 0)])
     right = _df(spark, [(1, _t(5), 1)])
