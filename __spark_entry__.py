@@ -238,6 +238,19 @@ def q_text_langid(spark, sf_dir):
     return TXT.lang_id(_docs(spark, sf_dir))
 
 
+def q_text_langid_multiscript(spark, sf_dir):
+    """Unicode script identification (functions/text.synth_multiscript +
+    script_profile): documents.text is pure [a-z ] by pinned invariant, so
+    this derives a deterministic UNICODE column from a fresh
+    md5(text||'uni<i>') stream — one writing system per doc_id % 8 (Latin,
+    accented, Greek, Cyrillic, Hebrew/RTL, Arabic/RTL, CJK, Hangul) — and
+    runs the generic per-codepoint-range classifier over it. The oracle
+    rebuilds the identical string with chr()+array_to_string and replays
+    the counts/argmax from the codepoint list, pinning both engines'
+    unicode plumbing (UTF-16BE decode vs chr) against each other."""
+    return TXT.script_profile(TXT.synth_multiscript(_docs(spark, sf_dir)))
+
+
 def q_text_quality(spark, sf_dir):
     return TXT.quality(_docs(spark, sf_dir))
 
@@ -1615,7 +1628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Driver-unverified-in-r03 entries FIRST (VERDICT r03 item 1):
         # the driver samples a prefix of this dict; these 35 had no
-        # CORRECTNESS_r03 row. The 50 below have standing r03 rows.
+        # CORRECTNESS_r03 row (new round-4 queries lead for the same
+        # reason). The 50 below have standing r03 rows.
+        "text_langid_multiscript": q_text_langid_multiscript,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -1844,6 +1859,54 @@ _WORD_HASH_D = "CAST('0x' || substr(md5({w}), 1, 8) AS BIGINT)"
 _STOP_LIST_D = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS) + "]"
 
 
+def _multiscript_oracle() -> str:
+    """DuckDB mirror of q_text_langid_multiscript, generated from the SAME
+    SCRIPT_BLOCKS/SCRIPT_RANGES tables the Spark operator uses (single
+    source of truth: a block edit shows up on both sides or neither)."""
+    blocks = TXT.SCRIPT_BLOCKS
+    ranges = TXT.SCRIPT_RANGES
+    case = " ".join(
+        f"WHEN {i} THEN {b} + "
+        f"(CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) % {s})"
+        for i, (_n, b, s) in enumerate(blocks)
+    )
+    cnts = ", ".join(
+        "CAST(len(list_filter(cps, c -> "
+        + " OR ".join(f"(c BETWEEN {lo} AND {hi})" for lo, hi in rs)
+        + f")) AS INTEGER) AS n_{n}"
+        for n, rs in ranges
+    )
+    structs = ", ".join("{'cnt': n_%s, 's': '%s'}" % (n, n) for n, _r in ranges)
+    names = ", ".join(f"n_{n}" for n, _r in ranges)
+    total = " + ".join(f"n_{n}" for n, _r in ranges)
+    return f"""
+        WITH h AS (
+          SELECT doc_id, md5(text || 'uni0') || md5(text || 'uni1') AS hx
+          FROM documents
+        ), cp AS (
+          SELECT doc_id, list_transform(range(0, {TXT.MULTISCRIPT_CHARS}),
+            i -> CASE WHEN (i % 5) = 4 THEN 32
+                      ELSE (CASE doc_id % {len(blocks)} {case} END) END) AS cps
+          FROM h
+        ), s AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(cps, c -> chr(CAST(c AS INT))),
+                                 '') AS utext,
+                 CAST(len(cps) AS INTEGER) AS n_chars,
+                 CAST(len(list_filter(cps, c -> c = 32)) AS INTEGER) AS n_space,
+                 {cnts}
+          FROM cp
+        )
+        SELECT doc_id, utext, n_chars, n_space, {names},
+               n_chars - n_space - ({total}) AS n_other,
+               list_reduce(
+                   list_prepend({{'cnt': 0, 's': 'none'}}, [{structs}]),
+                   (a, b) -> CASE WHEN b.cnt > a.cnt THEN b ELSE a END
+               ).s AS script_pred
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     k, r = DD.MINHASH_K, DD.LSH_ROWS_PER_BAND
     thr = DD.JACCARD_THRESHOLD_PERMILLE
@@ -1882,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE (1000 * v.inter) // (sa.sz + sb.sz - v.inter) >= {thr}
             )"""
     return {
+        "text_langid_multiscript": _multiscript_oracle(),
         "extract_flagship": _RECON
         + "SELECT doc_id, status, kind, text, media_ref, span_order FROM recon",
         "extract_errors": """

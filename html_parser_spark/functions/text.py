@@ -524,3 +524,133 @@ def card_redact(docs: DataFrame, text_col: str = "text_cards") -> DataFrame:
             f"aggregate({valid}, {text_col}, (t, c) -> replace(t, c, '<CARD>'))"
         ).alias("text_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiscript (unicode) fixtures + script identification
+# ---------------------------------------------------------------------------
+# The documents.text invariant is pure [a-z ] (the extraction oracles depend
+# on it), so the text operators above only ever see ASCII in the gate. A
+# 100 TB web corpus is NOT ASCII: these two pieces give the gate real
+# unicode coverage without touching the pinned tables —
+#   * synth_multiscript derives a deterministic UNICODE text column from a
+#     fresh md5(text||'uni<i>') stream (the CLAUDE.md fixture rule), one
+#     writing system per doc_id % 8: Latin, accented Latin, Greek,
+#     Cyrillic, Hebrew (RTL), Arabic (RTL), CJK, Hangul — all BMP, so
+#     Spark length()/char comparisons and DuckDB codepoint math agree;
+#   * script_profile is the GENERIC operator: per-codepoint-range counts +
+#     dominant-script vote over any string column, pure JVM expressions
+#     (char range comparisons under UTF8 binary collation ARE codepoint
+#     comparisons), no shuffle, no Python.
+
+# (name, synth base codepoint, synth block size). Synth blocks are chosen
+# strictly inside the classifier ranges below so expected == predicted is
+# provable per construction.
+SCRIPT_BLOCKS = (
+    ("latin", 0x61, 26),       # a..z
+    ("accented", 0xE0, 23),    # à..ö (Latin-1 letters, stops before ÷)
+    ("greek", 0x3B1, 25),      # α..ω
+    ("cyrillic", 0x430, 32),   # а..я
+    ("hebrew", 0x5D0, 27),     # א..ת (RTL)
+    ("arabic", 0x627, 20),     # ا..غ (RTL)
+    ("cjk", 0x4E00, 128),      # CJK Unified Ideographs head
+    ("hangul", 0xAC00, 128),   # Hangul Syllables head
+)
+
+# Classifier ranges (full standard blocks — the operator is generic, not
+# synth-shaped). latin gets both cases; ranges are mutually disjoint.
+SCRIPT_RANGES = (
+    ("latin", ((0x61, 0x7A), (0x41, 0x5A))),
+    ("accented", ((0xC0, 0x17F),)),   # Latin-1 letters + Latin Extended-A
+    ("greek", ((0x370, 0x3FF),)),
+    ("cyrillic", ((0x400, 0x4FF),)),
+    ("hebrew", ((0x590, 0x5FF),)),
+    ("arabic", ((0x600, 0x6FF),)),
+    ("cjk", ((0x4E00, 0x9FFF),)),
+    ("hangul", ((0xAC00, 0xD7A3),)),
+)
+
+MULTISCRIPT_CHARS = 30  # 24 letters + 6 spaces per doc
+
+
+def synth_multiscript(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, script_expected, utext): deterministic unicode text.
+
+    Char i of doc d: space when i % 5 = 4, else codepoint
+    base(d % 8) + (hexbyte_i % size) where hexbyte_i is the i-th byte of
+    md5(text||'uni0') || md5(text||'uni1') (64 hex chars = 32 bytes, 30
+    used). The string materializes via unhex -> decode UTF-16BE (every
+    BMP codepoint is one 4-hex-digit code unit); the DuckDB oracle builds
+    the identical string with chr() + array_to_string, so the gate pins
+    the two engines' unicode plumbing against each other end-to-end."""
+    byte_v = "cast(conv(substr(hx, 2*i + 1, 2), 16, 10) as int)"
+    base_case = " ".join(
+        f"when {i} then {base} + pmod({byte_v}, {size})"
+        for i, (_n, base, size) in enumerate(SCRIPT_BLOCKS)
+    )
+    name_arr = "array(" + ",".join(f"'{n}'" for n, _b, _s in SCRIPT_BLOCKS) + ")"
+    # only the matching CASE branch evaluates, so the conv appears once per
+    # element at runtime even though it is inlined per branch
+    cp = f"if(i % 5 = 4, 32, case pmod(doc_id, 8) {base_case} end)"
+    # hx is a BOUND COLUMN before the lambda touches it — inlining the md5
+    # expression into the transform would re-hash per element (CLAUDE.md
+    # lambda-indexing trap)
+    return (
+        docs.withColumn(
+            "hx",
+            F.expr(
+                f"concat(md5(concat({text_col}, 'uni0')), "
+                f"md5(concat({text_col}, 'uni1')))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"element_at({name_arr}, cast(pmod(doc_id, 8) as int) + 1)")
+            .alias("script_expected"),
+            F.expr(
+                f"decode(unhex(array_join(transform(sequence(0, {MULTISCRIPT_CHARS - 1}), "
+                f"i -> lpad(hex({cp}), 4, '0')), '')), 'UTF-16BE')"
+            ).alias("utext"),
+        )
+    )
+
+
+def script_profile(docs: DataFrame, text_col: str = "utext") -> DataFrame:
+    """Per-document writing-system profile of ANY string column:
+    (doc_id, <text_col>, n_chars, n_space, n_<script> x 8, n_other,
+    script_pred). Counts are per-codepoint-range (SCRIPT_RANGES);
+    script_pred is the argmax with ties broken by block order (left fold
+    over (cnt, name) structs, seeded at (0, 'none') so a doc with no
+    letters at all predicts 'none' — the oracle mirrors the fold with
+    list_reduce)."""
+    chars = f"filter(split({text_col}, ''), c -> c <> '')"
+    out = docs.withColumn("_cs", F.expr(chars)).select(
+        "doc_id",
+        text_col,
+        F.expr(f"length({text_col})").alias("n_chars"),
+        F.expr("cast(size(filter(_cs, c -> c = ' ')) as int)").alias("n_space"),
+        *[
+            F.expr(
+                "cast(size(filter(_cs, c -> "
+                + " or ".join(
+                    f"(c >= '{chr(lo)}' and c <= '{chr(hi)}')" for lo, hi in ranges
+                )
+                + ")) as int)"
+            ).alias(f"n_{name}")
+            for name, ranges in SCRIPT_RANGES
+        ],
+    )
+    total = " + ".join(f"n_{name}" for name, _r in SCRIPT_RANGES)
+    structs = ", ".join(
+        f"struct(n_{name} as cnt, '{name}' as s)" for name, _r in SCRIPT_RANGES
+    )
+    return out.withColumn(
+        "n_other", F.expr(f"n_chars - n_space - ({total})")
+    ).withColumn(
+        "script_pred",
+        F.expr(
+            f"aggregate(array({structs}), "
+            "struct(cast(0 as int) as cnt, 'none' as s), "
+            "(a, b) -> if(b.cnt > a.cnt, b, a)).s"
+        ),
+    )
