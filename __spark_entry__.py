@@ -850,6 +850,19 @@ def q_multimodal_jpeg(spark, sf_dir):
     return image_features(attach_jpeg(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_exif(spark, sf_dir):
+    """Header-only EXIF/APP1 metadata walk end-to-end: synthesize a real
+    baseline JPEG with a spec-correct Exif APP1 (TIFF IFD0 + GPS sub-IFD,
+    BOTH byte orders across the corpus — core/exif.py) per document and
+    walk orientation / make / timestamp / GPS micro-degrees / SOF dims
+    without touching entropy-coded data (range-read posture at 100 TB).
+    Params from md5(text||'exif0') e0..e13 and md5(text||'exif1') f0..f7;
+    every field has the closed form in attach_exif_jpeg's docstring."""
+    from html_parser_spark.operators.multimodal import attach_exif_jpeg, exif_meta_stats
+
+    return exif_meta_stats(attach_exif_jpeg(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_jpeg_progressive(spark, sf_dir):
     """REAL progressive-JPEG (SOF2) decode end-to-end: synthesize a
     five-scan progressive JPEG per document (params from the FRESH stream
@@ -1631,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03 row (new round-4 queries lead for the same
         # reason). The 50 below have standing r03 rows.
         "text_langid_multiscript": q_text_langid_multiscript,
+        "multimodal_exif_meta": q_multimodal_exif,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3156,6 +3170,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(has_id3 AS INTEGER) AS has_id3,
                    CAST(1 AS INTEGER) AS is_cbr
             FROM p
+        """,
+        "multimodal_exif_meta": """
+            WITH e AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     md5(text || 'exif0') AS he, md5(text || 'exif1') AS hf
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(he, 1, 2) AS INTEGER) AS e0,
+                     CAST('0x' || substr(he, 3, 2) AS INTEGER) AS e1,
+                     substr(he, 5, 2) AS e2hex,
+                     CAST('0x' || substr(he, 7, 2) AS INTEGER) AS e3,
+                     CAST('0x' || substr(he, 9, 2) AS INTEGER) AS e4,
+                     CAST('0x' || substr(he, 11, 2) AS INTEGER) AS e5,
+                     CAST('0x' || substr(he, 13, 2) AS INTEGER) AS e6,
+                     CAST('0x' || substr(he, 15, 2) AS INTEGER) AS e7,
+                     CAST('0x' || substr(he, 17, 2) AS INTEGER) AS e8,
+                     CAST('0x' || substr(he, 19, 2) AS INTEGER) AS e9,
+                     CAST('0x' || substr(he, 21, 2) AS INTEGER) AS e10,
+                     CAST('0x' || substr(hf, 1, 2) AS INTEGER) AS f0,
+                     CAST('0x' || substr(hf, 3, 2) AS INTEGER) AS f1,
+                     CAST('0x' || substr(hf, 5, 2) AS INTEGER) AS f2,
+                     CAST('0x' || substr(hf, 7, 2) AS INTEGER) AS f3,
+                     CAST('0x' || substr(hf, 9, 2) AS INTEGER) AS f4,
+                     CAST('0x' || substr(hf, 11, 2) AS INTEGER) AS f5,
+                     CAST('0x' || substr(hf, 13, 2) AS INTEGER) AS f6,
+                     CAST('0x' || substr(hf, 15, 2) AS INTEGER) AS f7
+              FROM e
+            )
+            SELECT doc_id, 'jpeg' AS format, 'parsed' AS outcome,
+                   CASE WHEN e0 % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+                   CAST(1 + e1 % 8 AS INTEGER) AS orientation,
+                   'cam-' || e2hex AS make,
+                   printf('%04d:%02d:%02d %02d:%02d:%02d',
+                          2000 + e3 % 26, 1 + e4 % 12, 1 + e5 % 28,
+                          e6 % 24, e7 % 60, e8 % 60) AS dt,
+                   CAST((CASE WHEN f0 % 2 = 0 THEN 1 ELSE -1 END)
+                        * ((CAST(f1 % 90 AS BIGINT) * 3600
+                            + (f2 % 60) * 60 + f3 % 60) * 1000000 // 3600)
+                        AS BIGINT) AS lat_udeg,
+                   CAST((CASE WHEN f4 % 2 = 0 THEN 1 ELSE -1 END)
+                        * ((CAST(f5 % 180 AS BIGINT) * 3600
+                            + (f6 % 60) * 60 + f7 % 60) * 1000000 // 3600)
+                        AS BIGINT) AS lon_udeg,
+                   CAST(4 AS INTEGER) AS n_ifd0,
+                   CAST(8 * (1 + e9 % 6) AS INTEGER) AS width,
+                   CAST(8 * (1 + e10 % 6) AS INTEGER) AS height
+            FROM b
         """,
         "multimodal_mp4_meta": """
             WITH d AS (

@@ -1,0 +1,217 @@
+"""EXIF/APP1 metadata: TIFF-IFD synthesis and a header-only walk.
+
+Real-corpus JPEGs carry orientation/timestamps/GPS in an APP1 segment
+("Exif\\0\\0" + a TIFF byte stream: header, IFD0 entry table, value area,
+GPS sub-IFD). This module implements the public TIFF 6.0 / EXIF 2.3
+structures with stdlib struct only:
+
+  * synth_exif_app1(...) builds a spec-correct APP1 segment — BOTH byte
+    orders ('II' little / 'MM' big), inline SHORT values, offset ASCII
+    strings, RATIONAL triplets, and a GPS sub-IFD reached through the
+    0x8825 pointer tag;
+  * exif_info(data) walks a JPEG's marker stream up to SOS, parses the
+    first Exif APP1 generically (never assuming the synth layout), and
+    also captures SOF0/1/2 dimensions in the same pass. It never reads
+    entropy-coded data: at 100 TB this is a bounded-size range-read per
+    object, the same posture as core/av.py's MP3/MP4 walks.
+
+Degrade-never-raise: malformed/missing structures return None (the
+operator maps that to outcome='no_exif'/'unparseable') — same contract as
+decode_jpeg/mp4_info.
+
+Reference scope note: the reference repo (790891601/html-parser) has no
+media pipeline at all; this extends the engine's multimodal surface per
+the training-data-pipeline mandate (VERDICT r03 item 6).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+# TIFF field types used here
+_ASCII, _SHORT, _LONG, _RATIONAL = 2, 3, 4, 5
+_TYPE_SIZE = {1: 1, _ASCII: 1, _SHORT: 2, _LONG: 4, _RATIONAL: 8}
+
+TAG_MAKE = 0x010F
+TAG_ORIENTATION = 0x0112
+TAG_DATETIME = 0x0132
+TAG_GPS_IFD = 0x8825
+GPS_LAT_REF, GPS_LAT, GPS_LON_REF, GPS_LON = 0x0001, 0x0002, 0x0003, 0x0004
+
+
+def _entry(fmt: str, tag: int, typ: int, count: int, value_field: bytes) -> bytes:
+    assert len(value_field) == 4
+    return struct.pack(fmt + "HHI", tag, typ, count) + value_field
+
+
+def _inline_short(fmt: str, v: int) -> bytes:
+    # values shorter than 4 bytes are LEFT-JUSTIFIED in the value field
+    # (TIFF 6.0 §2) — the same two leading bytes under either byte order
+    return struct.pack(fmt + "H", v) + b"\x00\x00"
+
+
+def synth_exif_app1(
+    byte_order: str,  # 'II' | 'MM'
+    orientation: int,
+    make: str,
+    datetime_str: str,  # 'YYYY:MM:DD HH:MM:SS'
+    lat_ref: str,  # 'N' | 'S'
+    lat_dms: tuple[int, int, int],
+    lon_ref: str,  # 'E' | 'W'
+    lon_dms: tuple[int, int, int],
+) -> bytes:
+    """A complete APP1 Exif segment (marker + length + payload):
+    IFD0 = {Make, Orientation, DateTime, GPS-IFD pointer}, GPS IFD =
+    {LatRef, Lat(3 rationals), LonRef, Lon(3 rationals)}. Deterministic
+    bytes for fixed inputs."""
+    fmt = "<" if byte_order == "II" else ">"
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime_str.encode("ascii") + b"\x00"
+    assert len(dt_b) == 20
+
+    ifd0_size = 2 + 4 * 12 + 4
+    make_off = 8 + ifd0_size
+    make_pad = len(make_b) % 2
+    dt_off = make_off + len(make_b) + make_pad
+    gps_off = dt_off + len(dt_b)
+    gps_size = 2 + 4 * 12 + 4
+    lat_off = gps_off + gps_size
+    lon_off = lat_off + 24
+
+    def off(v: int) -> bytes:
+        return struct.pack(fmt + "I", v)
+
+    tiff = bytearray()
+    tiff += (b"II" if fmt == "<" else b"MM") + struct.pack(fmt + "HI", 42, 8)
+    # IFD0 — entries MUST be sorted by tag (TIFF 6.0 §2)
+    tiff += struct.pack(fmt + "H", 4)
+    tiff += _entry(fmt, TAG_MAKE, _ASCII, len(make_b), off(make_off))
+    tiff += _entry(fmt, TAG_ORIENTATION, _SHORT, 1, _inline_short(fmt, orientation))
+    tiff += _entry(fmt, TAG_DATETIME, _ASCII, len(dt_b), off(dt_off))
+    tiff += _entry(fmt, TAG_GPS_IFD, _LONG, 1, off(gps_off))
+    tiff += struct.pack(fmt + "I", 0)  # next-IFD: none
+    tiff += make_b + b"\x00" * make_pad
+    tiff += dt_b
+    # GPS IFD
+    tiff += struct.pack(fmt + "H", 4)
+    tiff += _entry(
+        fmt, GPS_LAT_REF, _ASCII, 2, lat_ref.encode("ascii") + b"\x00\x00\x00"
+    )
+    tiff += _entry(fmt, GPS_LAT, _RATIONAL, 3, off(lat_off))
+    tiff += _entry(
+        fmt, GPS_LON_REF, _ASCII, 2, lon_ref.encode("ascii") + b"\x00\x00\x00"
+    )
+    tiff += _entry(fmt, GPS_LON, _RATIONAL, 3, off(lon_off))
+    tiff += struct.pack(fmt + "I", 0)
+    for v in (*lat_dms, *lon_dms):
+        tiff += struct.pack(fmt + "II", v, 1)
+
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return bytes([0xFF, 0xE1]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _read_ifd(tiff: bytes, fmt: str, off: int) -> Optional[dict]:
+    """Generic IFD entry table -> {tag: python value}. ASCII values are
+    nul-stripped strings; RATIONAL count-3 becomes an (a,b,c) numerator
+    tuple with denominator-1 assumed checked by the caller; SHORT/LONG
+    count-1 become ints."""
+    if off + 2 > len(tiff):
+        return None
+    (n,) = struct.unpack_from(fmt + "H", tiff, off)
+    if off + 2 + 12 * n + 4 > len(tiff):
+        return None
+    out = {}
+    for i in range(n):
+        tag, typ, count = struct.unpack_from(fmt + "HHI", tiff, off + 2 + 12 * i)
+        vfield = off + 2 + 12 * i + 8
+        size = _TYPE_SIZE.get(typ, 0) * count
+        if size == 0:
+            continue
+        pos = vfield
+        if size > 4:
+            (pos,) = struct.unpack_from(fmt + "I", tiff, vfield)
+            if pos + size > len(tiff):
+                continue
+        if typ == _ASCII:
+            out[tag] = tiff[pos : pos + count].split(b"\x00")[0].decode(
+                "ascii", errors="replace"
+            )
+        elif typ == _SHORT and count == 1:
+            (out[tag],) = struct.unpack_from(fmt + "H", tiff, pos)
+        elif typ == _LONG and count == 1:
+            (out[tag],) = struct.unpack_from(fmt + "I", tiff, pos)
+        elif typ == _RATIONAL:
+            vals = struct.unpack_from(fmt + "II" * count, tiff, pos)
+            pairs = list(zip(vals[0::2], vals[1::2]))
+            if any(d == 0 for _n, d in pairs):
+                continue
+            out[tag] = tuple(n // d for n, d in pairs)
+    return out
+
+
+def _dms_to_udeg(ref: str, dms, neg_refs: str) -> Optional[int]:
+    if not isinstance(dms, tuple) or len(dms) != 3:
+        return None
+    d, m, s = dms
+    sign = -1 if ref in neg_refs else 1
+    return sign * ((d * 3600 + m * 60 + s) * 1_000_000 // 3600)
+
+
+def exif_info(data: bytes) -> Optional[dict]:
+    """Walk a JPEG's header markers (stop at SOS/EOI) and return
+    {byte_order, orientation, make, datetime, lat_udeg, lon_udeg, n_ifd0,
+    width, height} from the first Exif APP1 + the SOF segment. GPS
+    micro-degrees are floor((d*3600+m*60+s)*1e6/3600), negative for S/W.
+    Returns None when there is no parseable JPEG; a parseable JPEG
+    without an Exif APP1 yields byte_order=None (operator -> 'no_exif');
+    missing individual fields stay None."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    out = {
+        "byte_order": None, "orientation": None, "make": None,
+        "datetime": None, "lat_udeg": None, "lon_udeg": None,
+        "n_ifd0": None, "width": None, "height": None,
+    }
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: header walk ends here
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00" and out["byte_order"] is None:
+            tiff = seg[6:]
+            order = tiff[:2]
+            if order in (b"II", b"MM") and len(tiff) >= 8:
+                fmt = "<" if order == b"II" else ">"
+                magic, ifd0_off = struct.unpack_from(fmt + "HI", tiff, 2)
+                if magic == 42:
+                    ifd0 = _read_ifd(tiff, fmt, ifd0_off)
+                    if ifd0 is not None:
+                        out["byte_order"] = order.decode()
+                        out["n_ifd0"] = len(ifd0)
+                        out["orientation"] = ifd0.get(TAG_ORIENTATION)
+                        out["make"] = ifd0.get(TAG_MAKE)
+                        out["datetime"] = ifd0.get(TAG_DATETIME)
+                        gps_ptr = ifd0.get(TAG_GPS_IFD)
+                        gps = (
+                            _read_ifd(tiff, fmt, gps_ptr)
+                            if isinstance(gps_ptr, int)
+                            else None
+                        )
+                        if gps:
+                            out["lat_udeg"] = _dms_to_udeg(
+                                gps.get(GPS_LAT_REF, ""), gps.get(GPS_LAT), "S"
+                            )
+                            out["lon_udeg"] = _dms_to_udeg(
+                                gps.get(GPS_LON_REF, ""), gps.get(GPS_LON), "W"
+                            )
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: dims live here
+            if len(seg) >= 5:
+                _prec, h, w = struct.unpack_from(">BHH", seg, 0)
+                out["width"], out["height"] = w, h
+        pos += 2 + seglen
+    return out

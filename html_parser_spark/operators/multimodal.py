@@ -1009,3 +1009,146 @@ def mp4_box_stats(
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).mapInArrow(kernel, schema=MP4_META_SCHEMA)
+
+
+EXIF_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("format", StringType()),
+        StructField("outcome", StringType()),  # parsed|no_exif|unparseable
+        StructField("byte_order", StringType()),  # II|MM
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("dt", StringType()),  # 'YYYY:MM:DD HH:MM:SS'
+        StructField("lat_udeg", LongType()),  # signed micro-degrees
+        StructField("lon_udeg", LongType()),
+        StructField("n_ifd0", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_exif_jpeg(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary): a REAL baseline JPEG with a
+    spec-correct Exif APP1 segment (TIFF IFD0 + GPS sub-IFD) spliced after
+    SOI. Params come from TWO fresh byte streams (non-overlap rule):
+    e = md5(text||'exif0'): e0 byte order (II/MM), e1 orientation 1..8,
+    e2 make 'cam-<hex e2>', e3..e8 datetime (2000+e3%26, 1+e4%12, 1+e5%28,
+    e6%24, e7%60, e8%60), e9/e10 dims 8*(1+e%6), e11..e13 fill RGB;
+    f = md5(text||'exif1'): f0 lat ref N/S, f1..f3 lat d/m/s
+    (%90/%60/%60), f4 lon ref E/W, f5..f7 lon d/m/s (%180/%60/%60).
+    Deterministic bytes; both TIFF byte orders exercised across the
+    corpus."""
+    from ..core.exif import synth_exif_app1
+    from ..core.jpeg import synth_jpeg
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                t = text or ""
+                e = hashlib.md5((t + "exif0").encode("utf-8")).digest()
+                f = hashlib.md5((t + "exif1").encode("utf-8")).digest()
+                app1 = synth_exif_app1(
+                    byte_order="II" if e[0] % 2 == 0 else "MM",
+                    orientation=1 + e[1] % 8,
+                    make=f"cam-{e[2]:02x}",
+                    datetime_str=(
+                        f"{2000 + e[3] % 26:04d}:{1 + e[4] % 12:02d}:"
+                        f"{1 + e[5] % 28:02d} {e[6] % 24:02d}:"
+                        f"{e[7] % 60:02d}:{e[8] % 60:02d}"
+                    ),
+                    lat_ref="N" if f[0] % 2 == 0 else "S",
+                    lat_dms=(f[1] % 90, f[2] % 60, f[3] % 60),
+                    lon_ref="E" if f[4] % 2 == 0 else "W",
+                    lon_dms=(f[5] % 180, f[6] % 60, f[7] % 60),
+                )
+                jpg = synth_jpeg(
+                    8 * (1 + e[9] % 6), 8 * (1 + e[10] % 6), (e[11], e[12], e[13])
+                )
+                payloads.append(jpg[:2] + app1 + jpg[2:])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def exif_meta_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Header-only EXIF walk over a JPEG binary column (core/exif.exif_info):
+    orientation / make / timestamp / GPS micro-degrees / SOF dims without
+    ever touching entropy-coded data — a bounded range-read per object at
+    100 TB, the commonest image-metadata query a training pipeline runs.
+    Degrades per row: no JPEG -> 'unparseable', JPEG without an Exif APP1
+    -> 'no_exif' (fields null)."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.exif import exif_info
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("format", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("byte_order", pa.string()),
+                pa.field("orientation", pa.int32()),
+                pa.field("make", pa.string()),
+                pa.field("dt", pa.string()),
+                pa.field("lat_udeg", pa.int64()),
+                pa.field("lon_udeg", pa.int64()),
+                pa.field("n_ifd0", pa.int32()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            cols = [[] for _ in range(12)]
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                d = exif_info(bytes(p) if p is not None else b"")
+                if d is None:
+                    row = ("jpeg", "unparseable", None, None, None, None,
+                           None, None, None, None, None)
+                elif d["byte_order"] is None:
+                    row = ("jpeg", "no_exif", None, None, None, None, None,
+                           None, None, d["width"], d["height"])
+                else:
+                    row = (
+                        "jpeg", "parsed", d["byte_order"], d["orientation"],
+                        d["make"], d["datetime"], d["lat_udeg"],
+                        d["lon_udeg"], d["n_ifd0"], d["width"], d["height"],
+                    )
+                for c, v in zip(cols, (str(doc_id),) + row):
+                    c.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, f.type) for c, f in zip(cols, schema)], schema=schema
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=EXIF_META_SCHEMA)
