@@ -73,6 +73,11 @@ def main() -> int:
         help="update only the ops named in --ops inside the existing "
         "BENCH_SCALING.json (re-measure one op without discarding the rest)",
     )
+    ap.add_argument(
+        "--out", default=f"{REPO}/BENCH_SCALING.json",
+        help="output JSON path (off-protocol probes — e.g. the 1.2M-doc "
+        "minhash run — should NOT overwrite the protocol file)",
+    )
     args = ap.parse_args()
     ops = args.ops.split(",")
 
@@ -169,8 +174,8 @@ spark.stop()
             "runs": results,
         }
 
-    if args.merge and os.path.exists(f"{REPO}/BENCH_SCALING.json"):
-        with open(f"{REPO}/BENCH_SCALING.json") as f:
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
             prior = json.load(f).get("ops", {})
         prior.update(op_results)
         op_results = prior
@@ -186,7 +191,7 @@ spark.stop()
         "n_docs": headline["n_docs"],
         "ops": op_results,
     }
-    with open(f"{REPO}/BENCH_SCALING.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
     return 0
