@@ -5,6 +5,11 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <sf>,
    "docs_per_sec": N, "spans_per_sec": N, "mb_per_sec": N, "cpus": N}
 
+The stdout line is kept under the driver's 2000-char tail buffer by
+truncating the per-query dict to the slowest cells when needed; the FULL
+result (all queries) is always written to BENCH_QUERIES.json and echoed
+to stderr.
+
 Env:
   SPARK_GRAFT_SF_DIR   input tables dir   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N]           (default 32)
@@ -152,7 +157,33 @@ def main() -> None:
                 }
         except Exception:
             pass
-    print(json.dumps(result))
+
+    # The driver keeps only the LAST 2000 chars of stdout and json-parses
+    # the final '{'-line inside it (observed: BENCH_r03 recorded
+    # parsed=None because the 87-query line grew past the buffer and the
+    # tail began mid-line). Ship the FULL result as a repo artifact +
+    # stderr, and keep the final stdout line under budget by dropping the
+    # FASTEST per-query cells first (the slow cells are the ones the
+    # 2x-vs-BASELINE check needs).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result), file=sys.stderr)
+
+    line = dict(result)
+    line["n_queries"] = len(q_times)
+    line["queries_full"] = "BENCH_QUERIES.json"
+    budget = 1900
+    by_speed = sorted(q_times, key=lambda k: q_times[k])
+    while len(json.dumps(line, separators=(",", ":"))) > budget and by_speed:
+        dropped = by_speed.pop(0)
+        line["queries"] = {
+            k: v for k, v in line["queries"].items() if k != dropped
+        }
+        line["queries_truncated_to_slowest"] = len(line["queries"])
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":
