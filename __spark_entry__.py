@@ -238,6 +238,38 @@ def q_text_langid(spark, sf_dir):
     return TXT.lang_id(_docs(spark, sf_dir))
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-key dedup (functions/url.py): the
+    first dedup pass of a web corpus. Synthetic URLs from the fresh
+    md5(text||'url') stream plant real canonical collisions (case, www.,
+    default ports, utm params, param order, trailing slash, fragments all
+    vary per doc); the GENERIC regexp canonicalizer collapses them and
+    ONE window Exchange attaches group size + min-doc_id representative.
+    The oracle derives the canonical form CLOSED-FORM from the same md5
+    bytes — parser pinned against constructor, never parse-vs-parse."""
+    from html_parser_spark.functions.url import canonical_dedup, synth_urls
+
+    return canonical_dedup(synth_urls(_docs(spark, sf_dir)))
+
+
+def q_url_domain_stats(spark, sf_dir):
+    """Per-domain crawl profile over the canonicalized URLs: page count,
+    distinct canonical pages, and the duplicate-crawl excess per
+    host_canon — the groupBy(domain) shape every crawl scheduler runs.
+    Map-side combinable count + distinct-agg on the canonical key."""
+    from html_parser_spark.functions.url import canonicalize_urls, synth_urls
+
+    return (
+        canonicalize_urls(synth_urls(_docs(spark, sf_dir)))
+        .groupBy("host_canon")
+        .agg(
+            F.expr("count(*)").alias("n_urls"),
+            F.expr("count(distinct url_canon)").alias("n_pages"),
+            F.expr("count(*) - count(distinct url_canon)").alias("n_dup_crawls"),
+        )
+    )
+
+
 def q_text_langid_multiscript(spark, sf_dir):
     """Unicode script identification (functions/text.synth_multiscript +
     script_profile): documents.text is pure [a-z ] by pinned invariant, so
@@ -1645,6 +1677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reason). The 50 below have standing r03 rows.
         "text_langid_multiscript": q_text_langid_multiscript,
         "multimodal_exif_meta": q_multimodal_exif,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "url_domain_stats": q_url_domain_stats,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -1873,6 +1907,67 @@ _WORD_HASH_D = "CAST('0x' || substr(md5({w}), 1, 8) AS BIGINT)"
 _STOP_LIST_D = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS) + "]"
 
 
+_URL_CTES = """
+            WITH h AS (
+              SELECT doc_id, md5(text || 'url') AS hx FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(hx, 1, 2) AS INTEGER) AS b0,
+                     CAST('0x' || substr(hx, 3, 2) AS INTEGER) AS b1,
+                     CAST('0x' || substr(hx, 5, 2) AS INTEGER) AS b2,
+                     CAST('0x' || substr(hx, 7, 2) AS INTEGER) AS b3,
+                     CAST('0x' || substr(hx, 9, 2) AS INTEGER) AS b4,
+                     CAST('0x' || substr(hx, 11, 2) AS INTEGER) AS b5,
+                     CAST('0x' || substr(hx, 13, 2) AS INTEGER) AS b6,
+                     CAST('0x' || substr(hx, 15, 2) AS INTEGER) AS b7,
+                     CAST('0x' || substr(hx, 17, 2) AS INTEGER) AS b8,
+                     CAST('0x' || substr(hx, 19, 2) AS INTEGER) AS b9,
+                     CAST('0x' || substr(hx, 21, 2) AS INTEGER) AS b10,
+                     CAST('0x' || substr(hx, 23, 2) AS INTEGER) AS b11,
+                     CAST('0x' || substr(hx, 25, 2) AS INTEGER) AS b12,
+                     CAST('0x' || substr(hx, 27, 2) AS INTEGER) AS b13
+              FROM h
+            ), parts AS (
+              SELECT doc_id,
+                CASE WHEN b0 % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+                concat('site', b3 % 4, '.',
+                       CASE WHEN b4 % 2 = 0 THEN 'com' ELSE 'org' END)
+                  AS host_canon,
+                concat(CASE WHEN b2 % 2 = 0 THEN 'www.' ELSE '' END,
+                       CASE WHEN b1 % 2 = 0 THEN 'SITE' ELSE 'site' END,
+                       b3 % 4, '.',
+                       CASE WHEN b4 % 2 = 0 THEN 'com' ELSE 'org' END)
+                  AS host_raw,
+                CASE b5 % 3
+                  WHEN 0 THEN CASE WHEN b0 % 2 = 0 THEN ':80' ELSE ':443' END
+                  WHEN 1 THEN ':8080' ELSE '' END AS port_raw,
+                CASE WHEN b5 % 3 = 1 THEN ':8080' ELSE '' END AS port_canon,
+                concat('/p', b6 % 2,
+                       CASE WHEN b7 % 2 = 0 THEN '/' ELSE '' END) AS path_raw,
+                concat('/p', b6 % 2) AS path_canon,
+                CASE b8 % 3
+                  WHEN 0 THEN concat('?b=', b10 % 2, '&utm_campaign=c',
+                                     b11 % 3, '&a=', b9 % 2)
+                  WHEN 1 THEN concat('?a=', b9 % 2, '&b=', b10 % 2)
+                  ELSE '' END AS query_raw,
+                CASE WHEN b8 % 3 = 2 THEN ''
+                     ELSE concat('?a=', b9 % 2, '&b=', b10 % 2) END
+                  AS query_canon,
+                CASE WHEN b12 % 2 = 0 THEN concat('#s', b13 % 4) ELSE '' END
+                  AS frag_raw
+              FROM b
+            ), u AS (
+              SELECT doc_id,
+                concat(scheme, '://', host_raw, port_raw, path_raw,
+                       query_raw, frag_raw) AS url,
+                host_canon,
+                concat(scheme, '://', host_canon, port_canon, path_canon,
+                       query_canon) AS url_canon
+              FROM parts
+            )
+"""
+
+
 def _multiscript_oracle() -> str:
     """DuckDB mirror of q_text_langid_multiscript, generated from the SAME
     SCRIPT_BLOCKS/SCRIPT_RANGES tables the Spark operator uses (single
@@ -1959,6 +2054,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE (1000 * v.inter) // (sa.sz + sb.sz - v.inter) >= {thr}
             )"""
     return {
+        "url_canonical_dedup": _URL_CTES + """
+            SELECT doc_id, url, host_canon, url_canon,
+                   COUNT(*) OVER (PARTITION BY url_canon) AS n_same,
+                   MIN(doc_id) OVER (PARTITION BY url_canon) AS rep_doc_id
+            FROM u
+        """,
+        "url_domain_stats": _URL_CTES + """
+            SELECT host_canon,
+                   COUNT(*) AS n_urls,
+                   COUNT(DISTINCT url_canon) AS n_pages,
+                   COUNT(*) - COUNT(DISTINCT url_canon) AS n_dup_crawls
+            FROM u GROUP BY host_canon
+        """,
         "text_langid_multiscript": _multiscript_oracle(),
         "extract_flagship": _RECON
         + "SELECT doc_id, status, kind, text, media_ref, span_order FROM recon",
