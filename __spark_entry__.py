@@ -895,6 +895,20 @@ def q_multimodal_exif(spark, sf_dir):
     return exif_meta_stats(attach_exif_jpeg(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_id3(spark, sf_dir):
+    """Header-only ID3v2 text-frame walk end-to-end: a spec-correct
+    ID3v2.3/2.4 tag (both frame-size formats, all three text encodings
+    across the corpus) prepended to a real CBR MP3 stream per document
+    (core/av.synth_id3v2 + id3v2_text_frames); title/artist/album/year/
+    track + tag size + frame count, audio payload never read. Params from
+    md5(text||'id3') g0..g11; tag_bytes has the closed form
+    10 + sum(10 + 1 + enclen) + padding where enclen doubles (+BOM) for
+    the UTF-16 encoding."""
+    from html_parser_spark.operators.multimodal import attach_mp3_id3, id3_meta_stats
+
+    return id3_meta_stats(attach_mp3_id3(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_jpeg_progressive(spark, sf_dir):
     """REAL progressive-JPEG (SOF2) decode end-to-end: synthesize a
     five-scan progressive JPEG per document (params from the FRESH stream
@@ -1679,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_exif_meta": q_multimodal_exif,
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_domain_stats": q_url_domain_stats,
+        "multimodal_id3_meta": q_multimodal_id3,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3326,6 +3341,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * (1 + e9 % 6) AS INTEGER) AS width,
                    CAST(8 * (1 + e10 % 6) AS INTEGER) AS height
             FROM b
+        """,
+        "multimodal_id3_meta": """
+            WITH g AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     md5(text || 'id3') AS hg
+              FROM documents
+            ), b AS (
+              SELECT doc_id, hg,
+                     CAST('0x' || substr(hg, 1, 2) AS INTEGER) AS g0,
+                     CAST('0x' || substr(hg, 3, 2) AS INTEGER) AS g1,
+                     CAST('0x' || substr(hg, 9, 2) AS INTEGER) AS g4,
+                     CAST('0x' || substr(hg, 11, 2) AS INTEGER) AS g5,
+                     CAST('0x' || substr(hg, 13, 2) AS INTEGER) AS g6,
+                     CAST('0x' || substr(hg, 15, 2) AS INTEGER) AS g7,
+                     CAST('0x' || substr(hg, 17, 2) AS INTEGER) AS g8,
+                     CAST('0x' || substr(hg, 19, 2) AS INTEGER) AS g9
+              FROM g
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN g0 % 2 = 0 THEN 3 ELSE 4 END AS version,
+                     (g1 % 3 = 1) AS utf16,
+                     concat('trk-', substr(hg, 5, 4)) AS title,
+                     concat('artist-', g4 % 40) AS artist,
+                     concat('alb-', g5 % 12) AS album,
+                     1970 + g6 % 55 AS year,
+                     1 + g7 % 20 AS track,
+                     g8 % 50 AS padding,
+                     1 + g9 % 40 AS n_frames
+              FROM b
+            ), t AS (
+              SELECT *,
+                     length(title) + length(artist) + length(album)
+                       + length(CAST(year AS VARCHAR))
+                       + length(CAST(track AS VARCHAR)) AS total_chars
+              FROM s
+            )
+            SELECT doc_id, 'mp3' AS format, 'parsed' AS outcome,
+                   CAST(version AS INTEGER) AS version,
+                   CAST(10 + padding + 55
+                        + CASE WHEN utf16 THEN 10 + 2 * total_chars
+                               ELSE total_chars END AS INTEGER) AS tag_bytes,
+                   title, artist, album,
+                   CAST(year AS INTEGER) AS year,
+                   CAST(track AS INTEGER) AS track,
+                   CAST(n_frames AS INTEGER) AS n_frames
+            FROM t
         """,
         "multimodal_mp4_meta": """
             WITH d AS (

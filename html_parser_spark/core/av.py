@@ -225,6 +225,84 @@ def mp3_info(data: bytes) -> Optional[dict]:
         return None
 
 
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def synth_id3v2(fields: dict, version: int = 4, encoding: int = 3,
+                padding: int = 0) -> bytes:
+    """A spec-correct ID3v2.3 or v2.4 tag holding text frames
+    (id3.org/id3v2.4.0-structure): 10-byte header with syncsafe tag size;
+    per frame a 4-char id, size (SYNCSAFE in v2.4, plain 32-bit in v2.3),
+    2 flag bytes, then an encoding byte + the text. encoding: 0 latin-1,
+    1 UTF-16 with BOM, 3 UTF-8 (v2.4 only in the spec; the walker accepts
+    any). Deterministic bytes."""
+    assert version in (3, 4)
+    body = bytearray()
+    for fid, text in fields.items():
+        if encoding == 0:
+            payload = bytes([0]) + text.encode("latin-1")
+        elif encoding == 1:
+            payload = bytes([1]) + b"\xff\xfe" + text.encode("utf-16-le")
+        else:
+            payload = bytes([3]) + text.encode("utf-8")
+        size = _syncsafe(len(payload)) if version == 4 else len(payload).to_bytes(4, "big")
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    body += b"\x00" * padding
+    return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + bytes(body)
+
+
+def id3v2_text_frames(data: bytes) -> Optional[dict]:
+    """Parse a leading ID3v2.3/2.4 tag's TEXT frames (ids starting 'T')
+    -> {"version": 3|4, "tag_bytes": total incl header,
+        "frames": {id: decoded text}}. Latin-1 / UTF-16-BOM / UTF-8
+    encodings handled; unknown frame ids are kept (they are still text
+    frames if they start with T), non-text frames skipped by size;
+    padding or malformed data ends the walk. None when no tag. Header
+    cost only — like mp3_info, audio payload is never touched."""
+    try:
+        if data[:3] != b"ID3" or len(data) < 10:
+            return None
+        version = data[3]
+        if version not in (3, 4) or any(b & 0x80 for b in data[6:10]):
+            return None
+        size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        end = min(10 + size, len(data))
+        frames: dict = {}
+        pos = 10
+        while pos + 10 <= end:
+            fid = data[pos : pos + 4]
+            if fid[0] == 0:  # padding
+                break
+            raw = data[pos + 4 : pos + 8]
+            if version == 4:
+                if any(b & 0x80 for b in raw):
+                    break
+                flen = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+            else:
+                flen = int.from_bytes(raw, "big")
+            body = data[pos + 10 : pos + 10 + flen]
+            if len(body) != flen:
+                break
+            if fid[:1] == b"T" and flen >= 1:
+                enc, txt = body[0], body[1:]
+                if enc == 0:
+                    s = txt.decode("latin-1", errors="replace")
+                elif enc == 1:
+                    s = txt.decode("utf-16", errors="replace")
+                elif enc == 2:
+                    s = txt.decode("utf-16-be", errors="replace")
+                elif enc == 3:
+                    s = txt.decode("utf-8", errors="replace")
+                else:
+                    s = ""
+                frames[fid.decode("ascii", errors="replace")] = s.rstrip("\x00")
+            pos += 10 + flen
+        return {"version": int(version), "tag_bytes": 10 + size, "frames": frames}
+    except Exception:
+        return None
+
+
 def synth_mp3(
     n_frames: int,
     bitrate_idx: int,

@@ -105,3 +105,63 @@ def test_spark_mp3_mp4_end_to_end(spark):
         assert (r4.width, r4.height) == (16 * (1 + b4[0] % 40), 16 * (1 + b4[1] % 30))
         scale = (600, 1000, 90000)[b4[2] % 3]
         assert r4.duration_us == (100 + 10 * b4[3]) * 1_000_000 // scale
+
+
+def test_id3v2_roundtrip_versions_and_encodings():
+    from html_parser_spark.core.av import id3v2_text_frames, synth_id3v2, synth_mp3
+
+    for ver in (3, 4):
+        for enc in (0, 1, 3):
+            fields = {"TIT2": "trk-ab12", "TPE1": "artist-7",
+                      ("TDRC" if ver == 4 else "TYER"): "1999"}
+            tag = synth_id3v2(fields, version=ver, encoding=enc, padding=9)
+            d = id3v2_text_frames(tag + synth_mp3(4, 5, 1))
+            assert d["version"] == ver
+            assert d["frames"] == fields
+            assert d["tag_bytes"] == len(tag)
+
+
+def test_id3v2_degrade_paths():
+    from html_parser_spark.core.av import id3v2_text_frames, synth_id3v2
+
+    # no tag / unsupported version / malformed syncsafe -> None, never raise
+    assert id3v2_text_frames(b"") is None
+    assert id3v2_text_frames(b"\xff\xfb\x52\x00") is None
+    assert id3v2_text_frames(b"ID3\x05\x00\x00\x00\x00\x00\x00") is None
+    assert id3v2_text_frames(b"ID3\x04\x00\x00\x00\x00\x00\x80") is None
+    # progressive truncation never raises
+    tag = synth_id3v2({"TIT2": "x" * 30, "TALB": "y"}, version=4, encoding=1)
+    for cut in range(0, len(tag), 3):
+        id3v2_text_frames(tag[:cut])
+    # a non-text frame is skipped by size, following text frame still read
+    import struct
+    body = b"APIC" + struct.pack(">I", 3) + b"\x00\x00" + b"img" \
+         + b"TIT2" + struct.pack(">I", 2) + b"\x00\x00" + b"\x03z"
+    raw = b"ID3\x03\x00\x00" + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+         (len(body) >> 7) & 0x7F, len(body) & 0x7F]) + body
+    d = id3v2_text_frames(raw)
+    assert d["frames"] == {"TIT2": "z"}
+
+
+def test_id3_spark_operator_outcomes(spark):
+    from html_parser_spark.core.av import synth_mp3
+    from html_parser_spark.operators.multimodal import attach_mp3_id3, id3_meta_stats
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in id3_meta_stats(attach_mp3_id3(docs)).collect()}
+    assert all(r.outcome == "parsed" for r in rows.values())
+    assert all(r.version in (3, 4) for r in rows.values())
+    assert all(1970 <= r.year <= 2024 for r in rows.values())
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    mixed = spark.createDataFrame(
+        [("g", bytearray(b"garbage")), ("p", bytearray(synth_mp3(3, 5, 1)))], schema
+    )
+    got = {r.doc_id: (r.outcome, r.n_frames) for r in id3_meta_stats(mixed).collect()}
+    assert got == {"g": ("unparseable", None), "p": ("no_tag", 3)}
