@@ -663,6 +663,43 @@ def main() -> int:
         ],
     )
 
+    audit(
+        "url_canonical_dedup",
+        qs["url_canonical_dedup"](spark, sf_dir),
+        [
+            ("ONE Exchange total: group size and representative attach as "
+             "window aggregates over the same url_canon partitioning, "
+             "never a groupBy + join-back",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1),
+            ("scan pruned to doc_id,text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
+    audit(
+        "text_langid_multiscript",
+        qs["text_langid_multiscript"](spark, sf_dir),
+        [
+            ("pure narrow projection: ZERO Exchanges (synth + classify are "
+             "row-local expressions)",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 0),
+            ("no Python crossing: classification is JVM char-range algebra "
+             "(no MapInArrow/MapInPandas node)",
+             lambda p: "MapInArrow" not in p and "MapInPandas" not in p),
+        ],
+    )
+
+    audit(
+        "multimodal_exif_meta",
+        qs["multimodal_exif_meta"](spark, sf_dir),
+        [
+            ("exactly one round-robin spread Exchange feeds the Python "
+             "kernels (single-split serialization defense), nothing wide",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and "roundrobin" in p.lower()),
+        ],
+    )
+
     out = ["# Physical-plan audit (tools/plan_audit.py)\n"]
     out.append(f"sf_dir: {sf_dir}; Spark {spark.version}\n")
     for name, plan, results in checks:
