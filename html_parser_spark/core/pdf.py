@@ -75,6 +75,44 @@ def _scan_objects(data: bytes) -> dict[int, _Obj]:
     return objs
 
 
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(objs: dict[int, _Obj]) -> None:
+    """PDF 1.5+: objects packed inside /Type /ObjStm compressed streams
+    (the raw-file scan cannot see them — they are not `N 0 obj` framed).
+    Decode each object stream and add its members to the table: the
+    decoded stream starts with N (objnum, offset) integer pairs, then the
+    object bodies at /First + offset (ISO 32000-1 §7.5.7; members are
+    never stream objects themselves). Direct top-level objects win on
+    number collisions. Malformed object streams are skipped."""
+    members: dict[int, _Obj] = {}
+    for obj in list(objs.values()):
+        tm = _TYPE_RE.search(obj.head)
+        if tm is None or tm.group(1) != b"ObjStm":
+            continue
+        try:
+            data = _stream_bytes(obj, objs)
+            if data is None:
+                continue
+            n = int(_OBJSTM_N_RE.search(obj.head).group(1))
+            first = int(_OBJSTM_FIRST_RE.search(obj.head).group(1))
+            header = data[:first].split()
+            if len(header) < 2 * n:
+                continue
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+            ]
+            for i, (num, off) in enumerate(pairs):
+                end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+                members[num] = _Obj(data[first + off : first + end], None)
+        except Exception:
+            continue
+    for num, obj in members.items():
+        objs.setdefault(num, obj)
+
+
 def _stream_bytes(obj: _Obj, objs: dict[int, _Obj]) -> Optional[bytes]:
     """Decoded stream content of an object (resolving indirect /Length)."""
     if obj.stream is None:
@@ -293,6 +331,7 @@ def pdf_text_blocks(data: bytes) -> list[tuple[int, int, str, str]]:
         return []
     try:
         objs = _scan_objects(data)
+        _expand_object_streams(objs)  # PDF 1.5+ packed objects
         out: list[tuple[int, int, str, str]] = []
         order = 0
         for page_idx, page_num in enumerate(_page_order(objs)):
@@ -336,9 +375,21 @@ def _page_stream(blocks: list[str], page_idx: int) -> bytes:
     return b"\n".join(parts)
 
 
-def synth_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+def synth_pdf(
+    pages: list[list[str]], compress: bool = False, objstm: bool = False
+) -> bytes:
     """A correct minimal PDF: one content stream per page of text blocks,
-    single xref, optional FlateDecode. Deterministic bytes for fixtures."""
+    optional FlateDecode. Deterministic bytes for fixtures.
+
+    objstm=False: PDF 1.4 shape — every object top-level, classic xref
+    table + trailer.
+    objstm=True: PDF 1.5 shape — every NON-stream object (catalog, page
+    tree, page dicts, font) packed into one FlateDecode /Type /ObjStm,
+    plus a real cross-reference STREAM (/Type /XRef, W [1 4 2], type-2
+    entries pointing into the object stream) instead of the classic
+    table. Content streams stay top-level (stream objects cannot live in
+    an ObjStm — ISO 32000-1 §7.5.7). This is the dominant real-corpus
+    PDF container."""
     n = len(pages)
     font_num = 3 + 2 * n
     objects: list[bytes] = []  # bodies WITHOUT the "N 0 obj"/"endobj" framing
@@ -362,18 +413,80 @@ def synth_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for num, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_at)
+    if not objstm:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for num, body in enumerate(objects, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (len(objects) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_at)
+        )
+        return bytes(out)
+
+    # ---- PDF 1.5 object-stream form ----
+    packed = {  # object number -> body: every NON-stream object
+        num: body
+        for num, body in enumerate(objects, start=1)
+        if num in (1, 2, font_num) or num % 2 == 1  # catalog/pages/font/page dicts
+    }
+    top = {  # content streams stay top-level
+        num: body for num, body in enumerate(objects, start=1) if num not in packed
+    }
+    objstm_num = font_num + 1
+    xref_num = font_num + 2
+
+    pairs = bytearray()
+    bodies = bytearray()
+    offs = []
+    for num in sorted(packed):
+        offs.append((num, len(bodies)))
+        bodies += packed[num] + b"\n"
+    pairs = b" ".join(b"%d %d" % (num, off) for num, off in offs) + b"\n"
+    stm_plain = bytes(pairs) + bytes(bodies)
+    stm = zlib.compress(stm_plain)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(packed), len(pairs), len(stm)) + stm + b"\nendstream"
     )
+
+    out = bytearray(b"%PDF-1.5\n")
+    positions: dict[int, int] = {}
+    for num in sorted(top):
+        positions[num] = len(out)
+        out += b"%d 0 obj\n" % num + top[num] + b"\nendobj\n"
+    positions[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_body + b"\nendobj\n"
+
+    # cross-reference stream: W [1 4 2] (type, field2, field3)
+    size = xref_num + 1
+    idx_in_stm = {num: i for i, (num, _o) in enumerate(offs)}
+    xref_at = len(out)
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in idx_in_stm:
+            rows += (
+                bytes([2])
+                + objstm_num.to_bytes(4, "big")
+                + idx_in_stm[num].to_bytes(2, "big")
+            )
+        else:
+            pos = positions.get(num, xref_at if num == xref_num else 0)
+            rows += bytes([1]) + pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xdata = zlib.compress(bytes(rows))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n" % (xref_num, size, len(xdata))
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)

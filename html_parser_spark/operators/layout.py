@@ -82,9 +82,13 @@ def route_media(df_extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
 def attach_pdf(docs: DataFrame) -> DataFrame:
     """documents -> (doc_id, media_ref, payload: binary) with a REAL
     synthesized PDF per document (page 0: the 3-word title block; page 1:
-    the body text), half the corpus FlateDecode-compressed — deterministic,
-    so the layout extraction has a closed-form SQL oracle. With real data
-    the payload column comes from the lake instead."""
+    the body text). The container varies in thirds — plain PDF 1.4,
+    FlateDecode 1.4, and PDF 1.5 with object + cross-reference STREAMS
+    (the dominant real-corpus shape: catalog/page tree reachable only
+    through the /Type /ObjStm) — deterministic, and the extracted blocks
+    are container-independent, so the layout extraction keeps its
+    closed-form SQL oracle. With real data the payload column comes from
+    the lake instead."""
 
     def kernel(batches):
         import zlib
@@ -106,11 +110,15 @@ def attach_pdf(docs: DataFrame) -> DataFrame:
                 text = text or ""
                 title = " ".join(text.split(" ")[:3])
                 refs.append(f"synth://{doc_id}.pdf")
-                # deterministic id-derived parity (works for any id shape);
-                # compression never changes the extracted blocks, so the
+                # deterministic id-derived variant (works for any id shape);
+                # the container never changes the extracted blocks, so the
                 # SQL oracle is independent of it
-                compress = zlib.crc32(str(doc_id).encode("utf-8")) % 2 == 0
-                payloads.append(synth_pdf([[title], [text]], compress=compress))
+                v = zlib.crc32(str(doc_id).encode("utf-8")) % 3
+                payloads.append(
+                    synth_pdf(
+                        [[title], [text]], compress=v >= 1, objstm=v == 2
+                    )
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([str(i) for i in ids], pa.string()),

@@ -166,3 +166,33 @@ def test_pdf_synth_total_over_non_latin1_text():
     characters degrade to '?' (errors='replace'), round-tripping as such."""
     got = pdf_text_blocks(synth_pdf([["café 中文 ok"]]))
     assert got == [(0, 0, "text", "café ?? ok")]
+
+
+def test_pdf15_objstm_roundtrip_and_load_bearing():
+    from html_parser_spark.core.pdf import pdf_text_blocks, synth_pdf
+
+    pages = [["alpha title"], ["the body text of the page", "second block"]]
+    for compress in (False, True):
+        assert pdf_text_blocks(
+            synth_pdf(pages, compress=compress, objstm=True)
+        ) == pdf_text_blocks(synth_pdf(pages, compress=compress))
+    p15 = synth_pdf(pages, compress=True, objstm=True)
+    assert p15.startswith(b"%PDF-1.5")
+    assert b"/Type /ObjStm" in p15 and b"/Type /XRef" in p15
+    # load-bearing: the catalog/page tree exist ONLY inside the object
+    # stream — a reader without ObjStm expansion finds no pages at all
+    assert b"/Type /Catalog" not in p15
+    assert b"/Type /Pages" not in p15
+
+
+def test_pdf15_objstm_degrades_never_raises():
+    from html_parser_spark.core.pdf import pdf_text_blocks, synth_pdf
+
+    p15 = synth_pdf([["x"], ["y z"]], compress=True, objstm=True)
+    for cut in range(0, len(p15), 41):
+        pdf_text_blocks(p15[:cut])  # must not raise
+    # corrupt the compressed ObjStm payload: zero blocks, no exception
+    i = p15.index(b"/Type /ObjStm")
+    j = p15.index(b"stream\n", i) + 7
+    broken = p15[:j] + b"\x00\x00\x00\x00" + p15[j + 4 :]
+    assert pdf_text_blocks(broken) == []
