@@ -238,6 +238,95 @@ def q_text_langid(spark, sf_dir):
     return TXT.lang_id(_docs(spark, sf_dir))
 
 
+def q_text_tokens_multiscript(spark, sf_dir):
+    """Script-aware token counting over the multiscript unicode corpus
+    (functions/text.token_count_script_aware): CJK/kana/Hangul characters
+    count one token each (unsegmented scripts), everything else counts
+    whitespace words — the budget-correct number a multilingual pipeline
+    needs (whitespace tokens undercount CJK ~10x). Closed forms on the
+    synth corpus: space-delimited scripts -> 6 words both columns;
+    cjk/hangul (doc_id % 8 in (6,7)) -> 6 ws words but 24 aware tokens."""
+    from html_parser_spark.functions.text import (
+        synth_multiscript,
+        token_count_script_aware,
+    )
+
+    uni = synth_multiscript(_docs(spark, sf_dir))
+    return token_count_script_aware(uni, "utext")
+
+
+def q_extract_links(spark, sf_dir):
+    """Link-graph extraction — THE web-pipeline operator between parsing
+    and PageRank: each doc gets deterministic <a href> anchors (messy raw
+    URLs: uppercase scheme/host, www., explicit default port, utm param,
+    trailing slash), the REAL parser kernel builds node + attr tables,
+    and (doc_id, link_idx, href, href_canon, anchor_text) is assembled
+    relationally — anchors from the node table, hrefs from the attr
+    table, anchor text from child Text nodes, canonical form via
+    functions/url.canonicalize_urls. The oracle replays the synth
+    closed-form, so the parser+attr-quirk+canonicalizer composition is
+    pinned end-to-end."""
+    from pyspark.sql import Window
+
+    from html_parser_spark.functions.url import canonicalize_urls
+    from html_parser_spark.operators.parse import (
+        exploded_attrs,
+        exploded_nodes,
+        parse_nodes,
+    )
+
+    w = "split(text, ' ')"
+    k_eff = f"least(1 + pmod(doc_id, 3), size({w}) div 2)"
+    anchors_html = (
+        f"transform(sequence(0, {k_eff} - 1), j -> concat("
+        "'<a href=\"HTTP://WWW.Site', pmod(doc_id + j, 5), '.COM:80/p', j, "
+        f"'/?utm_source=x&q=', j % 2, '\">', element_at({w}, cast(2*j+2 as int)), "
+        "'</a>'))"
+    )
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            f"concat('<div><p>', element_at({w}, 1), '</p>', "
+            f"array_join(if({k_eff} > 0, {anchors_html}, array()), ''), '</div>')"
+        ).alias("html"),
+    )
+    # persisted: the parse kernel feeds the node table AND the attr table;
+    # without the barrier each consumer re-runs the Python crossing
+    parsed = parse_nodes(df).persist()
+    nodes = exploded_nodes(parsed).where("status = 'ok'")
+    anchors = nodes.where("tag = 'a'").select(
+        "doc_id",
+        F.col("node_id").alias("a_id"),
+        (
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("node_id"))
+            .cast("int")
+            - 1
+        ).alias("link_idx"),
+    )
+    hrefs = (
+        exploded_attrs(parsed)
+        .where("name = 'href'")
+        .select("doc_id", F.col("node_id").alias("a_id"), F.col("value").alias("href"))
+    )
+    texts = nodes.where("kind = 'Text'").select(
+        "doc_id", F.col("pid").alias("a_id"), F.col("content").alias("anchor_text")
+    )
+    links = (
+        anchors.join(hrefs, ["doc_id", "a_id"])
+        .join(texts, ["doc_id", "a_id"])
+        .select("doc_id", "link_idx", "href", "anchor_text")
+    )
+    out = canonicalize_urls(links, "href").select(
+        "doc_id",
+        "link_idx",
+        "href",
+        F.col("url_canon").alias("href_canon"),
+        "anchor_text",
+    )
+    return DD._unpersist_with(out, parsed)
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization + canonical-key dedup (functions/url.py): the
     first dedup pass of a web corpus. Synthetic URLs from the fresh
@@ -1694,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_domain_stats": q_url_domain_stats,
         "multimodal_id3_meta": q_multimodal_id3,
+        "extract_links": q_extract_links,
+        "text_tokens_multiscript": q_text_tokens_multiscript,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2069,6 +2160,32 @@ def oracle_sql() -> dict[str, str]:
               WHERE (1000 * v.inter) // (sa.sz + sb.sz - v.inter) >= {thr}
             )"""
     return {
+        "text_tokens_multiscript": """
+            SELECT doc_id,
+                   CAST(6 AS INTEGER) AS n_ws_tokens,
+                   CAST(CASE WHEN doc_id % 8 IN (6, 7) THEN 24 ELSE 6 END
+                        AS INTEGER) AS n_tokens_aware
+            FROM documents
+        """,
+        "extract_links": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), k AS (
+              SELECT doc_id, w,
+                     least(1 + doc_id % 3, len(w) // 2) AS k_eff
+              FROM t
+            ), l AS (
+              SELECT doc_id, w, unnest(range(0, k_eff)) AS j FROM k
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(j AS INTEGER) AS link_idx,
+                   concat('HTTP://WWW.Site', (doc_id + j) % 5, '.COM:80/p',
+                          j, '/?utm_source=x&q=', j % 2) AS href,
+                   concat('http://site', (doc_id + j) % 5, '.com/p', j,
+                          '?q=', j % 2) AS href_canon,
+                   w[CAST(2 * j + 2 AS INTEGER)] AS anchor_text
+            FROM l
+        """,
         "url_canonical_dedup": _URL_CTES + """
             SELECT doc_id, url, host_canon, url_canon,
                    COUNT(*) OVER (PARTITION BY url_canon) AS n_same,

@@ -654,3 +654,39 @@ def script_profile(docs: DataFrame, text_col: str = "utext") -> DataFrame:
             "(a, b) -> if(b.cnt > a.cnt, b, a)).s"
         ),
     )
+
+
+# CJK ideographs + kana + Hangul: scripts that do not delimit words with
+# spaces — a whitespace tokenizer undercounts them by ~an order of
+# magnitude, which skews every tokens-per-doc budget in a multilingual
+# corpus.
+_NOSPACE_CLASS = (
+    r"[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7A3}]"
+)
+
+
+def token_count_script_aware(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_tokens_aware): script-aware token estimate.
+    Every CJK/Hangul CHARACTER counts as one token (the common
+    char-per-token approximation for unsegmented scripts); the remaining
+    text — with those chars treated as separators — contributes its
+    whitespace words. For pure space-delimited text the two columns are
+    equal; for CJK text n_ws_tokens is the misleading number this
+    operator exists to correct. Narrow JVM projection, no shuffle."""
+    nospace = _NOSPACE_CLASS
+    words = f"filter(split({text_col}, ' '), s -> s != '')"
+    residue_words = (
+        f"filter(split(regexp_replace({text_col}, '{nospace}', ' '), ' '), "
+        "s -> s != '')"
+    )
+    n_nospace = (
+        f"length({text_col}) - "
+        f"length(regexp_replace({text_col}, '{nospace}', ''))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({words}) as int)").alias("n_ws_tokens"),
+        F.expr(
+            f"cast(size({residue_words}) + {n_nospace} as int)"
+        ).alias("n_tokens_aware"),
+    )

@@ -68,3 +68,19 @@ def test_synth_multiscript_predicts_expected(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_token_count_script_aware(spark):
+    rows = [
+        (0, "hello world"),
+        (1, "日本語のテキストです"),         # 3 ideographs + 7 kana = 10
+        (2, "한국어텍스트 mixed latin"),     # 6 hangul + 2 latin words
+        (3, ""),
+        (4, "中文 and english mixed"),      # 2 ideographs + 3 latin words
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_tokens_aware)
+        for r in TXT.token_count_script_aware(df).collect()
+    }
+    assert got == {0: (2, 2), 1: (1, 10), 2: (3, 8), 3: (0, 0), 4: (4, 5)}
