@@ -238,6 +238,37 @@ def q_text_langid(spark, sf_dir):
     return TXT.lang_id(_docs(spark, sf_dir))
 
 
+def q_graph_domain_pagerank(spark, sf_dir):
+    """The composed web-pipeline story end-to-end: synth_urls gives each
+    doc its own page URL, extract_links runs the REAL parser over anchor
+    HTML, both canonicalize through functions/url.py, hosts map to stable
+    ids (site_number * 2 + tld), and the resulting domain edge list feeds
+    the fixed-round integer PageRank — extraction -> canonical link graph
+    -> iterative algorithm in one plan, every stage exact (the oracle
+    replays the synth closed-form and then the SAME integer rounds via
+    the shared _pagerank_rounds_sql chain)."""
+    from html_parser_spark.functions.graph import pagerank
+    from html_parser_spark.functions.url import canonicalize_urls, synth_urls
+
+    hid = (
+        "cast(regexp_extract({h}, 'site([0-9]+)', 1) as bigint) * 2 "
+        "+ if({h} like '%.org', 1, 0)"
+    )
+    src = canonicalize_urls(synth_urls(_docs(spark, sf_dir))).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(hid.format(h="host_canon")).alias("src"),
+    )
+    dst = q_extract_links(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            hid.format(h="regexp_extract(href_canon, '://([^/]*)', 1)")
+        ).alias("dst"),
+    )
+    edges = src.join(dst, "doc_id").select("src", "dst")
+    nodes = spark.range(10).select(F.col("id").alias("node"))
+    return pagerank(nodes, edges)
+
+
 def q_text_tokens_multiscript(spark, sf_dir):
     """Script-aware token counting over the multiscript unicode corpus
     (functions/text.token_count_script_aware): CJK/kana/Hangul characters
@@ -665,17 +696,11 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(docs, edges)
 
 
-def _pagerank_oracle_sql(n_iter: int = 3) -> str:
-    """DuckDB mirror of q_graph_pagerank (same integer rounds)."""
-    sql = """
-        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
-        v AS (SELECT doc_id AS node FROM documents),
-        e AS (
-          SELECT node AS src,
-                 unnest([(node * 31 + 7) % (SELECT n FROM cnt),
-                         (node * 17 + 3) % (SELECT n FROM cnt)]) AS dst
-          FROM v
-        ),
+def _pagerank_rounds_sql(n_iter: int = 3) -> str:
+    """The fixed-round integer PageRank replay, generic over upstream CTEs
+    `v(node)` and `e(src, dst)` — shared by the synthetic-graph oracle and
+    the extracted-domain-graph oracle (same rounds, different edges)."""
+    sql = """,
         dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
                FROM e GROUP BY 1),
         p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM v)"""
@@ -703,6 +728,50 @@ def _pagerank_oracle_sql(n_iter: int = 3) -> str:
                    FROM e GROUP BY 1) i ON i.dst = p.node
     """
     return sql
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of q_graph_pagerank (same integer rounds)."""
+    return (
+        """
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        v AS (SELECT doc_id AS node FROM documents),
+        e AS (
+          SELECT node AS src,
+                 unnest([(node * 31 + 7) % (SELECT n FROM cnt),
+                         (node * 17 + 3) % (SELECT n FROM cnt)]) AS dst
+          FROM v
+        )"""
+        + _pagerank_rounds_sql(n_iter)
+    )
+
+
+def _domain_pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of q_graph_domain_pagerank: the edge set replays the
+    extract_links + synth_urls closed forms (src = the doc's own
+    canonical host, dst = each link's canonical host; host id =
+    site_number * 2 + (tld = org)), then the SAME integer rounds."""
+    return (
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(text || 'url'), 7, 2) AS INTEGER)
+                   AS b3,
+                 CAST('0x' || substr(md5(text || 'url'), 9, 2) AS INTEGER)
+                   AS b4,
+                 least(1 + doc_id % 3,
+                       len(string_split(text, ' ')) // 2) AS k_eff
+          FROM documents
+        ),
+        l AS (SELECT doc_id, b3, b4, unnest(range(0, k_eff)) AS j FROM t),
+        e AS (
+          SELECT (b3 % 4) * 2 + (b4 % 2) AS src,
+                 ((doc_id + j) % 5) * 2 AS dst
+          FROM l
+        ),
+        v AS (SELECT unnest(range(0, 10)) AS node)"""
+        + _pagerank_rounds_sql(n_iter)
+    )
 
 
 def q_kmeans_embeddings(spark, sf_dir):
@@ -1785,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_id3_meta": q_multimodal_id3,
         "extract_links": q_extract_links,
         "text_tokens_multiscript": q_text_tokens_multiscript,
+        "graph_domain_pagerank": q_graph_domain_pagerank,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2842,6 +2912,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
         "graph_pagerank": _pagerank_oracle_sql(),
+        "graph_domain_pagerank": _domain_pagerank_oracle_sql(),
         "sketch_bloom_decontaminate": """
             WITH wd AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents
