@@ -700,6 +700,31 @@ def main() -> int:
         ],
     )
 
+    audit(
+        "extract_links",
+        qs["extract_links"](spark, sf_dir),
+        [
+            ("ONE Exchange total (the link_idx window); anchor/href/text "
+             "assembly joins all broadcast",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and p.count("BroadcastHashJoin") >= 2),
+            ("parse kernel behind a cache barrier (node AND attr consumers "
+             "read the same materialized parse, not two kernel runs)",
+             lambda p: "InMemoryTableScan" in p),
+        ],
+    )
+
+    audit(
+        "graph_domain_pagerank",
+        qs["graph_domain_pagerank"](spark, sf_dir),
+        [
+            ("per-round contribution sums are map-side partial aggregation "
+             "and the degree attach broadcasts (edge table never shuffles "
+             "for it)",
+             lambda p: "partial_sum" in p and "BroadcastHashJoin" in p),
+        ],
+    )
+
     out = ["# Physical-plan audit (tools/plan_audit.py)\n"]
     out.append(f"sf_dir: {sf_dir}; Spark {spark.version}\n")
     for name, plan, results in checks:
