@@ -173,3 +173,59 @@ def test_banded_near_dup_across_batches(spark, tmp_path):
             resolve_band_verdicts(spark.read.parquet(out_dir)).collect()}
     assert not got3["d5"]["is_dup"]
     assert got3["d6"]["is_dup"] and got3["d6"]["dup_of"] == "d5"
+
+
+def test_canonical_url_dedup_streaming(spark, tmp_path):
+    """Streaming canonical-URL dedup: functions/url.canonicalize_urls is a
+    stateless projection, so it composes with dedup_stream directly —
+    raw-URL variants of the same page (case, www., default port, utm,
+    trailing slash, fragment) collapse onto the first-seen doc across
+    micro-batches, matching the batch canonical_dedup representative."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from html_parser_spark.functions.url import canonicalize_urls
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("url", StringType())]
+    )
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        ("d1", "http://www.A.com/p?utm_source=t&k=1"),
+        ("d2", "https://b.org/x"),
+        ("d3", "HTTP://a.COM:80/p/?k=1#top"),  # same page as d1
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(input_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        q = (
+            dedup_stream(canonicalize_urls(stream), key_expr="url_canon")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(got1) == {"d1", "d2"}
+    assert got1["d1"]["content_key"] == "http://a.com/p?k=1"
+    assert got1["d1"]["n_dupes_in_batch"] == 2
+
+    import time as _t
+
+    _t.sleep(1.1)
+    batch2 = [
+        ("d4", "http://a.com:80/p?k=1"),   # still the d1 page -> suppressed
+        ("d5", "http://a.com/p?k=2"),      # different query value -> new
+    ]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(input_dir)
+    run_once()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {"d1", "d2", "d5"}
