@@ -238,6 +238,17 @@ def q_text_langid(spark, sf_dir):
     return TXT.lang_id(_docs(spark, sf_dir))
 
 
+def q_corpus_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking (functions/sampling.chunk_windows): 16-word
+    windows at stride 12 (4-word overlap) — the context-window prep for
+    long-document training. Word-aligned, every word in >=1 chunk, short
+    docs yield exactly one chunk. Narrow posexplode projection, no
+    shuffle."""
+    from html_parser_spark.functions.sampling import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), window=16, stride=12)
+
+
 def q_graph_domain_pagerank(spark, sf_dir):
     """The composed web-pipeline story end-to-end: synth_urls gives each
     doc its own page URL, extract_links runs the REAL parser over anchor
@@ -1855,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "text_tokens_multiscript": q_text_tokens_multiscript,
         "graph_domain_pagerank": q_graph_domain_pagerank,
+        "corpus_chunk_windows": q_corpus_chunk_windows,
         "multimodal_png_decode": q_multimodal_png,
         "multimodal_gif_decode": q_multimodal_gif,
         "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2230,6 +2242,27 @@ def oracle_sql() -> dict[str, str]:
               WHERE (1000 * v.inter) // (sa.sz + sb.sz - v.inter) >= {thr}
             )"""
     return {
+        "corpus_chunk_windows": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), n AS (
+              SELECT doc_id, w,
+                     1 + greatest((len(w) - 16 + 12 - 1) // 12, 0) AS nc
+              FROM t
+            ), c AS (
+              SELECT doc_id, w, unnest(range(0, nc)) AS i FROM n
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   CAST(len(w[CAST(i * 12 + 1 AS INTEGER)
+                              : CAST(least(i * 12 + 16, len(w)) AS INTEGER)])
+                        AS INTEGER) AS n_tokens,
+                   array_to_string(
+                       w[CAST(i * 12 + 1 AS INTEGER)
+                         : CAST(least(i * 12 + 16, len(w)) AS INTEGER)],
+                       ' ') AS chunk
+            FROM c
+        """,
         "text_tokens_multiscript": """
             SELECT doc_id,
                    CAST(6 AS INTEGER) AS n_ws_tokens,

@@ -123,3 +123,36 @@ def corpus_mix(
             "rate_ppm",
         )
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 16,
+    stride: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep that
+    long-document training runs use (stride < window gives overlap so no
+    boundary context is lost): (doc_id, chunk_idx int, n_tokens int,
+    chunk string). Chunks are word-aligned; the last window starts at the
+    final stride step that still adds words, so every word appears in
+    >=1 chunk and no chunk is empty (a doc shorter than `window` yields
+    exactly one chunk). Pure JVM transform-over-sequence + posexplode —
+    the explode is the output, not an intermediate; no shuffle."""
+    assert 0 < stride <= window
+    w = f"split({text_col}, ' ')"
+    n_chunks = (
+        f"1 + greatest(div(size({w}) - {window} + {stride} - 1, {stride}), 0)"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> array_join(slice({w}, i * {stride} + 1, {window}), ' '))"
+    )
+    return docs.selectExpr(
+        "doc_id", f"posexplode({chunks}) as (chunk_idx, chunk)"
+    ).selectExpr(
+        "doc_id",
+        "cast(chunk_idx as int) as chunk_idx",
+        "cast(size(split(chunk, ' ')) as int) as n_tokens",
+        "chunk",
+    )

@@ -84,3 +84,34 @@ def test_token_count_script_aware(spark):
         for r in TXT.token_count_script_aware(df).collect()
     }
     assert got == {0: (2, 2), 1: (1, 10), 2: (3, 8), 3: (0, 0), 4: (4, 5)}
+
+
+def test_chunk_windows_properties(spark):
+    from html_parser_spark.functions.sampling import chunk_windows
+
+    texts = {
+        0: "",                                    # 1 chunk, the empty word
+        1: " ".join(f"w{i}" for i in range(10)),  # < window: 1 chunk
+        2: " ".join(f"w{i}" for i in range(16)),  # == window: 1 chunk
+        3: " ".join(f"w{i}" for i in range(17)),  # window+1: 2 chunks
+        4: " ".join(f"w{i}" for i in range(40)),  # 3 chunks
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    rows = chunk_windows(df, window=16, stride=12).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [len(by_doc[d]) for d in range(5)] == [1, 1, 1, 2, 3]
+    for d, text in texts.items():
+        words = text.split(" ")
+        chunks = sorted(by_doc[d], key=lambda r: r.chunk_idx)
+        # every word covered, in order, with the configured overlap
+        for i, r in enumerate(chunks):
+            assert r.chunk.split(" ") == words[i * 12 : i * 12 + 16]
+            assert r.n_tokens == len(words[i * 12 : i * 12 + 16])
+        covered = set()
+        for i, _ in enumerate(chunks):
+            covered.update(range(i * 12, min(i * 12 + 16, len(words))))
+        assert covered == set(range(len(words)))

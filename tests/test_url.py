@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from html_parser_spark.functions import url as U
 
 
@@ -62,3 +64,36 @@ def test_canonical_dedup_groups_and_plan(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert [rows[i].n_same for i in range(4)] == [3, 3, 3, 1]
     assert [rows[i].rep_doc_id for i in range(4)] == [0, 0, 0, 3]
+
+
+def test_canonicalize_is_idempotent_property(spark):
+    """canon(canon(u)) == canon(u) over a generated URL space (case x www
+    x port x path-slash x utm/order x fragment). Idempotence is the
+    property that makes the canonical key safe to re-apply anywhere in a
+    pipeline (e.g. on already-normalized lake data)."""
+    import itertools
+
+    urls = []
+    for scheme, host, port, slash, query, frag in itertools.product(
+        ["http", "HTTPS"],
+        ["www.Site7.COM", "site7.com", "WWW.a-b.org"],
+        ["", ":80", ":443", ":8080"],
+        ["/x/y", "/x/y/", "/", ""],
+        ["", "?utm_a=1", "?b=2&a=1&utm_s=x", "?a=1"],
+        ["", "#frag"],
+    ):
+        urls.append(f"{scheme}://{host}{port}{slash}{query}{frag}")
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+    )
+    once = U.canonicalize_urls(df).select(
+        "doc_id", F.col("url_canon").alias("url")
+    )
+    twice = U.canonicalize_urls(once).select("doc_id", "url_canon")
+    diff = (
+        once.withColumnRenamed("url", "c1")
+        .join(twice, "doc_id")
+        .where("c1 <> url_canon")
+        .count()
+    )
+    assert diff == 0
