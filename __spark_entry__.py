@@ -175,7 +175,11 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return DD.minhash_lsh_pairs(DD.plant_dups(_docs(spark, sf_dir)))
+    # gate/bench are pipeline-terminal: opt into the eager auto verify-path
+    # (the library default stays the lazy shuffle path — ADVICE r04)
+    return DD.minhash_lsh_pairs(
+        DD.plant_dups(_docs(spark, sf_dir)), broadcast_verify=None
+    )
 
 
 def q_fuzzy_join(spark, sf_dir):
@@ -198,7 +202,9 @@ def q_dedup_clusters(spark, sf_dir):
     (O(log n) rounds). rep_doc_id = component min = canonical survivor;
     the oracle mirrors it with a DuckDB recursive CTE over the same
     pair set."""
-    pairs = DD.minhash_lsh_pairs(DD.plant_dups(_docs(spark, sf_dir)))
+    pairs = DD.minhash_lsh_pairs(
+        DD.plant_dups(_docs(spark, sf_dir)), broadcast_verify=None
+    )
     return DD.connected_components(pairs)
 
 

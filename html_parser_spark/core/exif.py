@@ -105,7 +105,11 @@ def synth_exif_app1(
     tiff += _entry(fmt, GPS_LON, _RATIONAL, 3, off(lon_off))
     tiff += struct.pack(fmt + "I", 0)
     for v in (*lat_dms, *lon_dms):
-        tiff += struct.pack(fmt + "II", v, 1)
+        # each DMS component is an int (denominator 1) or an exact
+        # (numerator, denominator) pair — real-corpus GPS stores e.g.
+        # seconds as 4716/100
+        num, den = v if isinstance(v, tuple) else (v, 1)
+        tiff += struct.pack(fmt + "II", num, den)
 
     body = b"Exif\x00\x00" + bytes(tiff)
     return bytes([0xFF, 0xE1]) + struct.pack(">H", len(body) + 2) + body
@@ -113,9 +117,9 @@ def synth_exif_app1(
 
 def _read_ifd(tiff: bytes, fmt: str, off: int) -> Optional[dict]:
     """Generic IFD entry table -> {tag: python value}. ASCII values are
-    nul-stripped strings; RATIONAL count-3 becomes an (a,b,c) numerator
-    tuple with denominator-1 assumed checked by the caller; SHORT/LONG
-    count-1 become ints."""
+    nul-stripped strings; RATIONAL values become a tuple of exact
+    (numerator, denominator) pairs (zero denominators skip the tag);
+    SHORT/LONG count-1 become ints."""
     if off + 2 > len(tiff):
         return None
     (n,) = struct.unpack_from(fmt + "H", tiff, off)
@@ -146,16 +150,24 @@ def _read_ifd(tiff: bytes, fmt: str, off: int) -> Optional[dict]:
             pairs = list(zip(vals[0::2], vals[1::2]))
             if any(d == 0 for _n, d in pairs):
                 continue
-            out[tag] = tuple(n // d for n, d in pairs)
+            # keep (num, den) exact — flooring here loses sub-unit seconds
+            # (e.g. GPS seconds stored 4716/100) before _dms_to_udeg's
+            # micro-degree math can see them
+            out[tag] = tuple(pairs)
     return out
 
 
 def _dms_to_udeg(ref: str, dms, neg_refs: str) -> Optional[int]:
+    """Exact integer micro-degrees from ((dn,dd),(mn,md),(sn,sd)) RATIONAL
+    triples: magnitude = floor((d*3600 + m*60 + s) * 1e6 / 3600) computed
+    over the common denominator, then signed — denominator-1 fixtures are
+    bit-identical to the old floored form."""
     if not isinstance(dms, tuple) or len(dms) != 3:
         return None
-    d, m, s = dms
+    (dn, dd), (mn, md), (sn, sd) = dms
     sign = -1 if ref in neg_refs else 1
-    return sign * ((d * 3600 + m * 60 + s) * 1_000_000 // 3600)
+    num = dn * 3600 * md * sd + mn * 60 * dd * sd + sn * dd * md
+    return sign * (num * 1_000_000 // (3600 * dd * md * sd))
 
 
 def exif_info(data: bytes) -> Optional[dict]:

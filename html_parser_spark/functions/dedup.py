@@ -295,14 +295,21 @@ def _broadcast_threshold_bytes(spark) -> int:
     s = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     s = s.strip().lower()
     mult = 1
+    # longest suffix first: Spark's byte-conf parser accepts k/m/g/t/p and
+    # kb/mb/gb/tb/pb (and bare b); checking "tb" before "t"/"b" matters
     for suf, m in (
         ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
-        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+        ("tb", 1024**4), ("pb", 1024**5),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+        ("t", 1024**4), ("p", 1024**5), ("b", 1),
     ):
         if s.endswith(suf):
             s, mult = s[: -len(suf)], m
             break
-    n = int(s)
+    try:
+        n = int(s)
+    except ValueError:  # unparseable conf value: fall back to Spark's default
+        return 10 * 1024**2
     return n * mult if n >= 0 else 0
 
 
@@ -313,7 +320,7 @@ def minhash_lsh_pairs(
     threshold_permille: int = JACCARD_THRESHOLD_PERMILLE,
     max_bucket: int = 10_000,
     observation=None,
-    broadcast_verify: bool | None = None,
+    broadcast_verify: bool | None = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection (the 100 TB scale path): banded bucket
     grouping proposes candidates, exact Jaccard verifies — restricted to the
@@ -347,12 +354,16 @@ def minhash_lsh_pairs(
         join per side (the two BroadcastExchanges are identical subplans, so
         Spark reuses one): the corpus-wide shingle set is never shuffled and
         never joined wide. Cost O(candidate docs x shingles);
-      - verify-path selection is AUTOMATIC (broadcast_verify=None): the
+      - verify-path selection: broadcast_verify=None AUTO-SWITCHES — the
         candidate tables are sized against the session's
         autoBroadcastJoinThreshold and the verify joins fall back to
         co-partitioned shuffle joins when the candidate set outgrows a
         broadcast — the driver-side collect term stays bounded at any
-        corpus size. Pass True/False to force a path.
+        corpus size. The DEFAULT is False (always shuffle-verify): that
+        path is both scale-safe and LAZY — auto's sizing runs count()/agg
+        actions and persists intermediates at plan-CONSTRUCTION time, so a
+        caller that only builds/explains the plan would leak persisted RDDs
+        (ADVICE r04). The gate/bench call sites opt into auto explicitly.
     Mega-doc caveat: the per-doc array form assumes a bounded document size
     (the extraction pipeline upstream enforces this); for pathological
     single-doc shingle sets beyond executor row limits, the exploded
@@ -436,14 +447,16 @@ def minhash_lsh_pairs(
     # the broadcast's driver-side collect growing the pipeline's FIXED cost
     # (BASELINE.md) — so large candidate sets must verify via co-partitioned
     # shuffle joins instead (output identical; pinned by test_dedup_metrics).
-    # broadcast_verify=None (the default) AUTO-SWITCHES: it sizes the
-    # candidate tables with bounded actions on the already-persisted
-    # intermediates (the verify plan consumes both caches anyway, so the
-    # stats passes add no extra heavy compute) and broadcasts only while the
-    # estimate fits the session's autoBroadcastJoinThreshold. True/False
-    # force one path (tests pin that both produce identical pairs). Auto
-    # makes the call EAGER at the candidate stage — acceptable for a
-    # pipeline-terminal operator whose callers all act on the result.
+    # broadcast_verify=None AUTO-SWITCHES: it sizes the candidate tables
+    # with bounded actions on the already-persisted intermediates (the
+    # verify plan consumes both caches anyway, so the stats passes add no
+    # extra heavy compute) and broadcasts only while the estimate fits the
+    # session's autoBroadcastJoinThreshold. True/False force one path
+    # (tests pin that both produce identical pairs). Auto makes the call
+    # EAGER at the candidate stage — fine for pipeline-terminal callers
+    # that always act on the result (gate/bench opt in), wrong as the
+    # default: a plan-only caller would leak the persisted intermediates,
+    # so the default is the lazy scale-safe shuffle path (False).
     auto = broadcast_verify is None
     if auto:
         thr = _broadcast_threshold_bytes(corpus.sparkSession)

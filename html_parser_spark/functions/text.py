@@ -561,7 +561,9 @@ SCRIPT_BLOCKS = (
 # synth-shaped). latin gets both cases; ranges are mutually disjoint.
 SCRIPT_RANGES = (
     ("latin", ((0x61, 0x7A), (0x41, 0x5A))),
-    ("accented", ((0xC0, 0x17F),)),   # Latin-1 letters + Latin Extended-A
+    # Latin-1 letters + Latin Extended-A, EXCLUDING U+00D7 (×) and U+00F7 (÷)
+    # which sit inside the Latin-1 letter block but are not letters
+    ("accented", ((0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x17F))),
     ("greek", ((0x370, 0x3FF),)),
     ("cyrillic", ((0x400, 0x4FF),)),
     ("hebrew", ((0x590, 0x5FF),)),

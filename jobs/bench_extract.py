@@ -65,7 +65,9 @@ def main(argv=None) -> int:
             return repeated_spans(df)
         from html_parser_spark.functions.dedup import minhash_lsh_pairs
 
-        return minhash_lsh_pairs(df)
+        # scaling protocol opts into the eager auto verify-path (library
+        # default is the lazy shuffle path — ADVICE r04)
+        return minhash_lsh_pairs(df, broadcast_verify=None)
 
     def one_pass() -> float:
         # t0 BEFORE build: minhash's auto verify-path selection runs bounded

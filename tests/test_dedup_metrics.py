@@ -105,7 +105,7 @@ def test_auto_verify_path_switches_on_threshold(spark):
     corpus = DD.plant_dups(docs)
 
     def pairs_auto():
-        df = DD.minhash_lsh_pairs(corpus)  # default = auto
+        df = DD.minhash_lsh_pairs(corpus, broadcast_verify=None)  # auto
         rows = {tuple(r) for r in df.collect()}
         hints = df._jdf.queryExecution().analyzed().toString().count("broadcast")
         return rows, hints
@@ -141,3 +141,17 @@ def test_broadcast_threshold_parse():
     assert f(_FakeSpark("1g")) == 1024**3
     assert f(_FakeSpark("1048576")) == 1024**2
     assert f(_FakeSpark("-1")) == 0  # broadcast disabled -> never broadcast
+
+
+def test_default_construction_is_lazy(spark):
+    """The library default (broadcast_verify=False) must not run ANY Spark
+    jobs at plan-construction time — auto's sizing actions are opt-in at
+    pipeline-terminal call sites only (ADVICE r04: eager construction leaks
+    persisted intermediates for plan-only callers)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = DD.plant_dups(docs)
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    before = dag.nextJobId()
+    df = DD.minhash_lsh_pairs(corpus)
+    df.explain()  # plan-only caller: build + explain, never execute
+    assert dag.nextJobId() == before

@@ -101,3 +101,21 @@ def test_spark_operator_outcomes(spark):
     )
     got = {r.doc_id: r.outcome for r in exif_meta_stats(mixed).collect()}
     assert got == {"g": "unparseable", "p": "no_exif"}
+
+
+def test_gps_rational_non_unit_denominator_exact():
+    """Real-corpus GPS stores sub-unit seconds as e.g. 4716/100; the udeg
+    math must stay exact integer over the common denominator instead of
+    flooring each component first (ADVICE r04)."""
+    app1 = synth_exif_app1(
+        "II", 1, "cam", "2020:01:01 00:00:00",
+        "N", (40, 26, (4716, 100)), "E", ((1201, 10), 0, 0),
+    )
+    d = exif_info(_jpeg_with(app1))
+    # floor((40*3600 + 26*60 + 47.16) * 1e6 / 3600) over exact integers
+    assert d["lat_udeg"] == (40 * 3600 * 100 + 26 * 60 * 100 + 4716) * 1_000_000 // (
+        3600 * 100
+    )
+    # floored-per-component would give 40446388 — off by 45 udeg
+    assert d["lat_udeg"] == 40446433
+    assert d["lon_udeg"] == 1201 * 3600 * 1_000_000 // (3600 * 10)

@@ -115,3 +115,12 @@ def test_chunk_windows_properties(spark):
         for i, _ in enumerate(chunks):
             covered.update(range(i * 12, min(i * 12 + 16, len(words))))
         assert covered == set(range(len(words)))
+
+
+def test_multiplication_division_signs_are_other(spark):
+    """U+00D7 (×) and U+00F7 (÷) sit inside the Latin-1 letter block but are
+    NOT letters: the accented ranges exclude them (ADVICE r04), so they land
+    in n_other — and the block neighbours Ö/Ø and ö/ø still classify."""
+    got = _profile(spark, [(0, "3×4÷2"), (1, "ÖØöø")])
+    assert (got[0].n_accented, got[0].n_other) == (0, 5)  # digits + × ÷
+    assert (got[1].n_accented, got[1].n_other) == (4, 0)
