@@ -1860,10 +1860,68 @@ def q_sketch_hll_user_minutes(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Driver-unverified-in-r03 entries FIRST (VERDICT r03 item 1):
-        # the driver samples a prefix of this dict; these 35 had no
-        # CORRECTNESS_r03 row (new round-4 queries lead for the same
-        # reason). The 50 below have standing r03 rows.
+        # Round-5 rotation (VERDICT r04 item 1): the driver samples a
+        # 50-entry PREFIX of this dict. CORRECTNESS_r04 covered the 44
+        # round-4 queries + 6 extraction anchors; the 44 entries whose
+        # newest driver row is r03 lead here so the r04∪r05 union leaves
+        # no query with a row older than one round. The three plans
+        # RESHAPED in round 4 (kmeans row-local argmin, bloom broadcast
+        # word-map probe, LSH auto verify-path) go first — their r03 rows
+        # predate the reshape. New round-5 queries follow them (no driver
+        # row at all yet).
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "sketch_bloom_decontaminate": q_sketch_bloom,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # --- new in round 5 ---
+        # --- standing r03 rows, re-verify this round ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_fuzzy_join": q_fuzzy_join,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_chunks": q_dedup_chunks,
+        "dedup_repeated_spans": q_dedup_repeated_spans,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "text_pii_redact": q_text_pii_redact,
+        "text_card_redact": q_text_card_redact,
+        "text_fingerprint": q_text_fingerprint,
+        "text_topk_terms": q_text_topk_terms,
+        "text_tfidf": q_text_tfidf,
+        "text_bm25_search": q_text_bm25,
+        "source_warc_roundtrip": q_source_warc,
+        "source_jsonl_roundtrip": q_source_jsonl,
+        "text_phrase_search": q_text_phrase,
+        "decontaminate_overlap": q_decontaminate,
+        "text_bigram_lm": q_text_bigram_lm,
+        "sample_stratified": q_sample_stratified,
+        "corpus_mix": q_corpus_mix,
+        "corpus_pack_sequences": q_corpus_pack,
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh_topk": q_similarity_lsh,
+        "similarity_ivf_topk": q_similarity_ivf,
+        "embedding_quantize": q_embedding_quantize,
+        "similarity_quantized_topk": q_similarity_quantized,
+        "graph_pagerank": q_graph_pagerank,
+        "sketch_countmin_words": q_sketch_countmin,
+        "transform_plugins": q_transform_plugins,
+        "parse_nodes": q_parse_nodes,
+        "parse_attrs": q_parse_attrs,
+        "extract_quirks": q_extract_quirks,
+        "extract_html_tables": q_extract_html_tables,
+        "diff_transform": q_diff_transform,
+        "diff_attrs": q_diff_attrs,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_decode": q_multimodal_image,
+        # --- fresh CORRECTNESS_r04 rows below this line ---
+        "extract_flagship": q_extract_flagship,
+        "extract_errors": q_extract_errors,
+        "extract_metrics": q_extract_metrics,
+        "extract_main": q_extract_main,
+        "extract_main_boilerplate": q_extract_main_boilerplate,
+        "generate_roundtrip": q_generate_roundtrip,
         "text_langid_multiscript": q_text_langid_multiscript,
         "multimodal_exif_meta": q_multimodal_exif,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -1908,57 +1966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_stats": q_layout_zorder,
         "sketch_hll_users": q_sketch_hll_users,
         "sketch_hll_user_minutes": q_sketch_hll_user_minutes,
-        # --- standing driver-green rows from CORRECTNESS_r03 ---
-        "extract_flagship": q_extract_flagship,
-        "extract_errors": q_extract_errors,
-        "extract_metrics": q_extract_metrics,
-        "extract_main": q_extract_main,
-        "extract_main_boilerplate": q_extract_main_boilerplate,
-        "generate_roundtrip": q_generate_roundtrip,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_fuzzy_join": q_fuzzy_join,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_chunks": q_dedup_chunks,
-        "dedup_repeated_spans": q_dedup_repeated_spans,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_repetition": q_text_repetition,
-        "text_pii_redact": q_text_pii_redact,
-        "text_card_redact": q_text_card_redact,
-        "text_fingerprint": q_text_fingerprint,
-        "text_topk_terms": q_text_topk_terms,
-        "text_tfidf": q_text_tfidf,
-        "text_bm25_search": q_text_bm25,
-        "source_warc_roundtrip": q_source_warc,
-        "source_jsonl_roundtrip": q_source_jsonl,
-        "text_phrase_search": q_text_phrase,
-        "decontaminate_overlap": q_decontaminate,
-        "text_bigram_lm": q_text_bigram_lm,
-        "sample_stratified": q_sample_stratified,
-        "corpus_mix": q_corpus_mix,
-        "corpus_pack_sequences": q_corpus_pack,
-        "similarity_topk": q_similarity_topk,
-        "similarity_lsh_topk": q_similarity_lsh,
-        "similarity_ivf_topk": q_similarity_ivf,
-        "embedding_quantize": q_embedding_quantize,
-        "similarity_quantized_topk": q_similarity_quantized,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "graph_pagerank": q_graph_pagerank,
-        "sketch_countmin_words": q_sketch_countmin,
-        "sketch_bloom_decontaminate": q_sketch_bloom,
-        "transform_plugins": q_transform_plugins,
-        "parse_nodes": q_parse_nodes,
-        "parse_attrs": q_parse_attrs,
-        "extract_quirks": q_extract_quirks,
-        "extract_html_tables": q_extract_html_tables,
-        "diff_transform": q_diff_transform,
-        "diff_attrs": q_diff_attrs,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_image_decode": q_multimodal_image,
     }
 
 
