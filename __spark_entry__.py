@@ -1070,6 +1070,21 @@ def q_multimodal_exif(spark, sf_dir):
     return exif_meta_stats(attach_exif_jpeg(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_webp(spark, sf_dir):
+    """Header-only WebP container walk end-to-end: synthesize a
+    spec-correct WebP (RFC 9649) per document — all three container
+    variants across the corpus (simple lossy VP8 frame-tag dims, simple
+    lossless VP8L signature bitstream, extended VP8X flags + canvas) —
+    and walk variant / dimensions / feature flags / container length
+    without decoding coefficient data (range-read posture at 100 TB;
+    real web corpora are full of WebP). Params from the fresh stream
+    md5(text||'webp') w0..w10; every field has the closed form in
+    attach_webp's docstring."""
+    from html_parser_spark.operators.multimodal import attach_webp, webp_meta_stats
+
+    return webp_meta_stats(attach_webp(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_id3(spark, sf_dir):
     """Header-only ID3v2 text-frame walk end-to-end: a spec-correct
     ID3v2.3/2.4 tag (both frame-size formats, all three text encodings
@@ -1873,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_decontaminate": q_sketch_bloom,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # --- new in round 5 ---
+        "multimodal_webp_meta": q_multimodal_webp,
         # --- standing r03 rows, re-verify this round ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3575,6 +3591,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * (1 + e9 % 6) AS INTEGER) AS width,
                    CAST(8 * (1 + e10 % 6) AS INTEGER) AS height
             FROM b
+        """,
+        "multimodal_webp_meta": """
+            WITH w AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     md5(text || 'webp') AS hw
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(hw, 1, 2) AS INTEGER) AS w0,
+                     CAST('0x' || substr(hw, 3, 2) AS INTEGER) AS w1,
+                     CAST('0x' || substr(hw, 5, 2) AS INTEGER) AS w2,
+                     CAST('0x' || substr(hw, 7, 2) AS INTEGER) AS w3,
+                     CAST('0x' || substr(hw, 9, 2) AS INTEGER) AS w4,
+                     CAST('0x' || substr(hw, 11, 2) AS INTEGER) AS w5,
+                     CAST('0x' || substr(hw, 13, 2) AS INTEGER) AS w6,
+                     CAST('0x' || substr(hw, 15, 2) AS INTEGER) AS w7,
+                     CAST('0x' || substr(hw, 17, 2) AS INTEGER) AS w8,
+                     CAST('0x' || substr(hw, 19, 2) AS INTEGER) AS w9,
+                     CAST('0x' || substr(hw, 21, 2) AS INTEGER) AS w10
+              FROM w
+            ), p AS (
+              SELECT doc_id, w0 % 3 AS v,
+                     1 + w1 + 256 * (w2 % 63) AS width,
+                     1 + w3 + 256 * (w4 % 63) AS height,
+                     w5 % 2 AS alpha, w6 % 2 AS anim, w7 % 2 AS exif,
+                     w8 % 2 AS icc, w9 % 2 AS xmp, w10 % 64 AS filler
+              FROM b
+            )
+            SELECT doc_id, 'webp' AS format, 'parsed' AS outcome,
+                   CASE v WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+                          ELSE 'vp8x' END AS variant,
+                   CAST(width AS INTEGER) AS width,
+                   CAST(height AS INTEGER) AS height,
+                   CAST(CASE WHEN v = 0 THEN 0 ELSE alpha END
+                        AS INTEGER) AS has_alpha,
+                   CAST(CASE WHEN v = 2 THEN anim ELSE 0 END
+                        AS INTEGER) AS has_anim,
+                   CAST(CASE WHEN v = 2 THEN exif ELSE 0 END
+                        AS INTEGER) AS has_exif,
+                   CAST(CASE WHEN v = 2 THEN icc ELSE 0 END
+                        AS INTEGER) AS has_icc,
+                   CAST(CASE WHEN v = 2 THEN xmp ELSE 0 END
+                        AS INTEGER) AS has_xmp,
+                   CAST(CASE WHEN v = 0 THEN 30 + filler + (filler % 2)
+                             WHEN v = 1 THEN 25 + filler + ((5 + filler) % 2)
+                             ELSE 48 + filler + (filler % 2)
+                        END AS INTEGER) AS riff_bytes
+            FROM p
         """,
         "multimodal_id3_meta": """
             WITH g AS (

@@ -1294,3 +1294,138 @@ def id3_meta_stats(
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).mapInArrow(kernel, schema=ID3_META_SCHEMA)
+
+
+WEBP_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("format", StringType()),
+        StructField("outcome", StringType()),  # parsed|unparseable
+        StructField("variant", StringType()),  # vp8|vp8l|vp8x
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("has_alpha", IntegerType()),
+        StructField("has_anim", IntegerType()),
+        StructField("has_exif", IntegerType()),
+        StructField("has_icc", IntegerType()),
+        StructField("has_xmp", IntegerType()),
+        StructField("riff_bytes", IntegerType()),
+    ]
+)
+
+
+def attach_webp(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary): a spec-correct WebP file
+    (core/webp.synth_webp) per document, cycling all three container
+    variants across the corpus. Params come from the FRESH stream
+    w = md5(text||'webp') (fixture non-overlap rule):
+    w0 % 3 variant (0 vp8, 1 vp8l, 2 vp8x);
+    width = 1 + w1 + 256*(w2 % 63), height = 1 + w3 + 256*(w4 % 63)
+    (14-bit safe); vp8x flags alpha/anim/exif/icc/xmp = w5..w9 % 2;
+    vp8l alpha = w5 % 2; filler = w10 % 64 junk payload bytes, so
+    riff_bytes has the closed forms
+      vp8:  30 + filler + (filler % 2)
+      vp8l: 25 + filler + ((5 + filler) % 2)
+      vp8x: 48 + filler + (filler % 2)."""
+    from ..core.webp import synth_webp
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                w = hashlib.md5(((text or "") + "webp").encode("utf-8")).digest()
+                variant = ("vp8", "vp8l", "vp8x")[w[0] % 3]
+                payloads.append(
+                    synth_webp(
+                        variant,
+                        1 + w[1] + 256 * (w[2] % 63),
+                        1 + w[3] + 256 * (w[4] % 63),
+                        alpha=w[5] % 2,
+                        anim=w[6] % 2,
+                        exif=w[7] % 2,
+                        icc=w[8] % 2,
+                        xmp=w[9] % 2,
+                        filler=w[10] % 64,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def webp_meta_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Header-only WebP walk over a binary column (core/webp.webp_info):
+    variant / dimensions / VP8X feature flags / container length without
+    decoding any coefficient data — a bounded range-read per object at
+    100 TB. Non-WebP bytes degrade to 'unparseable' rows (fields null),
+    never a raised exception mid-scan."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.webp import webp_info
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("format", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("variant", pa.string()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+                pa.field("has_alpha", pa.int32()),
+                pa.field("has_anim", pa.int32()),
+                pa.field("has_exif", pa.int32()),
+                pa.field("has_icc", pa.int32()),
+                pa.field("has_xmp", pa.int32()),
+                pa.field("riff_bytes", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            cols = [[] for _ in range(12)]
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                d = webp_info(bytes(p) if p is not None else b"")
+                if d is None:
+                    row = ("webp", "unparseable", None, None, None, None,
+                           None, None, None, None, None)
+                else:
+                    row = (
+                        "webp", "parsed", d["variant"], d["width"],
+                        d["height"], d["has_alpha"], d["has_anim"],
+                        d["has_exif"], d["has_icc"], d["has_xmp"],
+                        d["riff_bytes"],
+                    )
+                for c, v in zip(cols, (str(doc_id),) + row):
+                    c.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, f.type) for c, f in zip(cols, schema)], schema=schema
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=WEBP_META_SCHEMA)

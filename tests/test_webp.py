@@ -1,0 +1,92 @@
+"""WebP RIFF container (core/webp.py): synth round-trip for all three
+variants, the riff_bytes closed forms the gate oracle relies on, hostile
+input degradation, and the Spark operator's degrade rows. The closed-form
+field derivation is pinned end-to-end by the multimodal_webp_meta gate
+oracle."""
+
+from __future__ import annotations
+
+import struct
+
+from html_parser_spark.core.webp import synth_webp, webp_info
+
+
+def test_vp8_roundtrip_and_closed_form():
+    for filler in (0, 1, 63):
+        raw = synth_webp("vp8", 16127, 1, filler=filler)
+        d = webp_info(raw)
+        assert d["variant"] == "vp8"
+        assert (d["width"], d["height"]) == (16127, 1)
+        assert (d["has_alpha"], d["has_anim"], d["has_icc"]) == (0, 0, 0)
+        assert d["riff_bytes"] == 30 + filler + (filler % 2) == len(raw)
+
+
+def test_vp8l_roundtrip_and_closed_form():
+    for alpha, filler in ((0, 0), (1, 5), (1, 62)):
+        raw = synth_webp("vp8l", 640, 480, alpha=alpha, filler=filler)
+        d = webp_info(raw)
+        assert d["variant"] == "vp8l"
+        assert (d["width"], d["height"], d["has_alpha"]) == (640, 480, alpha)
+        assert d["riff_bytes"] == 25 + filler + ((5 + filler) % 2) == len(raw)
+
+
+def test_vp8x_flags_and_canvas():
+    raw = synth_webp(
+        "vp8x", 1920, 1080, alpha=1, anim=0, exif=1, icc=0, xmp=1, filler=7
+    )
+    d = webp_info(raw)
+    assert d["variant"] == "vp8x"
+    assert (d["width"], d["height"]) == (1920, 1080)
+    assert (d["has_alpha"], d["has_anim"], d["has_exif"]) == (1, 0, 1)
+    assert (d["has_icc"], d["has_xmp"]) == (0, 1)
+    assert d["riff_bytes"] == 48 + 7 + 1 == len(raw)
+
+
+def test_degrades_never_raises():
+    assert webp_info(b"") is None
+    assert webp_info(b"RIFFxxxxWAVE" + b"\x00" * 20) is None  # wrong form type
+    good = synth_webp("vp8", 32, 32)
+    assert webp_info(good[:15]) is None  # truncated mid-header
+    assert webp_info(good[:25]) is None  # truncated mid-chunk
+    # corrupt the VP8 start code
+    bad = bytearray(good)
+    bad[23] = 0xFF
+    assert webp_info(bytes(bad)) is None
+    # inter frame (tag bit 0 set) is not a standalone image
+    bad2 = bytearray(good)
+    bad2[20] |= 1
+    assert webp_info(bytes(bad2)) is None
+    # VP8L with nonzero version bits
+    lraw = bytearray(synth_webp("vp8l", 8, 8))
+    (bits,) = struct.unpack_from("<I", lraw, 21)
+    struct.pack_into("<I", lraw, 21, bits | (1 << 29))
+    assert webp_info(bytes(lraw)) is None
+    # unknown leading fourcc
+    unk = bytearray(good)
+    unk[12:16] = b"JUNK"
+    assert webp_info(bytes(unk)) is None
+
+
+def test_spark_operator_outcomes(spark):
+    from html_parser_spark.operators.multimodal import attach_webp, webp_meta_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(24)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in webp_meta_stats(attach_webp(docs)).collect()}
+    assert all(r.outcome == "parsed" for r in rows.values())
+    variants = {r.variant for r in rows.values()}
+    assert variants == {"vp8", "vp8l", "vp8x"}  # 24 docs cycle all three
+    assert all(1 <= r.width <= 16128 and 1 <= r.height <= 16128 for r in rows.values())
+    # degrade rows
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    mixed = spark.createDataFrame(
+        [("g", bytearray(b"not a webp")), ("p", bytearray(synth_webp("vp8", 4, 4)))],
+        schema,
+    )
+    got = {r.doc_id: r.outcome for r in webp_meta_stats(mixed).collect()}
+    assert got == {"g": "unparseable", "p": "parsed"}
