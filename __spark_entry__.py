@@ -713,6 +713,73 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(docs, edges)
 
 
+def q_text_bpe_vocab(spark, sf_dir):
+    """BPE vocabulary training (functions/bpe.py): 16 deterministic merge
+    rounds over the corpus word-count table — Sennrich-2016 exactly, ties
+    (count DESC, left, right). Output (rank, left, right, merged,
+    pair_count) is the artifact a pipeline persists to encode future
+    shards. The oracle replays every round in SQL (pair-count groupBy +
+    argmax + list_reduce re-segmentation), so the whole iterative train
+    is bit-exact-checked, kmeans-style."""
+    from html_parser_spark.functions.bpe import bpe_vocab
+
+    return bpe_vocab(_docs(spark, sf_dir))
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """Per-document REAL subword token counts (doc_id, n_words, n_tokens)
+    under the BPE vocabulary trained on the same corpus — the count a
+    training pipeline budgets sequence packing with (the old word-proxy
+    undercounts long words). Corpus side is row-local: per-word token
+    lengths fold into ONE broadcast map row (the bloom-probe shape), no
+    wide shuffle beyond training's distinct-word groupBy."""
+    from html_parser_spark.functions.bpe import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir))
+
+
+def _bpe_rounds_sql(n_merges: int = 16) -> str:
+    """The fixed-round BPE train replay as chained CTEs: w0 = the
+    distinct-word table with initial char+'</w>' symbol arrays; each round
+    r = pair-count groupBy (p{r}) + deterministic argmax (m{r}) +
+    list_reduce re-segmentation (w{r}) — the left-to-right non-overlapping
+    merge fold mirrors functions/bpe.merge_fold_expr exactly (DuckDB list
+    slices are INCLUSIVE, hence acc[:-2] to drop the merged-away tail).
+    Ends without a final SELECT so both BPE oracles share the chain."""
+    sql = """
+        WITH w0 AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 list_transform(range(1, length(word) + 1),
+                                i -> substr(word, CAST(i AS INT), 1))
+                   || ['</w>'] AS syms
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word
+        )"""
+    for r in range(1, n_merges + 1):
+        sql += f""",
+        p{r} AS (
+          SELECT s.a AS a, s.b AS b, SUM(cnt) AS pcnt FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(syms)),
+              i -> struct_pack(a := syms[CAST(i AS INT)],
+                               b := syms[CAST(i AS INT) + 1]))) AS s
+            FROM w{r - 1} WHERE len(syms) > 1
+          ) GROUP BY s.a, s.b
+        ),
+        m{r} AS (
+          SELECT CAST({r} AS INTEGER) AS rank, a, b, pcnt FROM p{r}
+          ORDER BY pcnt DESC, a, b LIMIT 1
+        ),
+        w{r} AS MATERIALIZED (
+          SELECT word, cnt,
+            list_reduce(list_transform(syms, s -> [s]),
+              (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                          THEN acc[:-2] || [m.a || m.b]
+                          ELSE acc || x END) AS syms
+          FROM w{r - 1} CROSS JOIN m{r} m
+        )"""
+    return sql
+
+
 def _pagerank_rounds_sql(n_iter: int = 3) -> str:
     """The fixed-round integer PageRank replay, generic over upstream CTEs
     `v(node)` and `e(src, dst)` — shared by the synthetic-graph oracle and
@@ -1889,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # --- new in round 5 ---
         "multimodal_webp_meta": q_multimodal_webp,
+        "text_bpe_vocab": q_text_bpe_vocab,
+        "text_bpe_tokens": q_text_bpe_tokens,
         # --- standing r03 rows, re-verify this round ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3591,6 +3660,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * (1 + e9 % 6) AS INTEGER) AS width,
                    CAST(8 * (1 + e10 % 6) AS INTEGER) AS height
             FROM b
+        """,
+        "text_bpe_vocab": _bpe_rounds_sql(16)
+        + f"""
+            SELECT rank, a AS "left", b AS "right", a || b AS merged,
+                   CAST(pcnt AS BIGINT) AS pair_count
+            FROM ({" UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, 17))})
+        """,
+        "text_bpe_tokens": _bpe_rounds_sql(16)
+        + """,
+            wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok FROM w16),
+            dw AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS word
+              FROM documents
+            ),
+            agg AS (
+              SELECT dw.doc_id, CAST(COUNT(*) AS INTEGER) AS n_words,
+                     CAST(SUM(wt.ntok) AS BIGINT) AS n_tokens
+              FROM dw JOIN wt USING (word) GROUP BY dw.doc_id
+            )
+            SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+                   COALESCE(a.n_tokens, 0) AS n_tokens
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "multimodal_webp_meta": """
             WITH w AS (

@@ -701,6 +701,22 @@ def main() -> int:
     )
 
     audit(
+        "text_bpe_tokens",
+        qs["text_bpe_tokens"](spark, sf_dir),
+        [
+            ("corpus side is ROW-LOCAL (bloom-probe shape): the only "
+             "Exchange is the SinglePartition vocab-map fold; per-doc "
+             "token counts come from one broadcast map row, the corpus "
+             "never shuffles",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and "BroadcastExchange" in p
+             and "BroadcastNestedLoopJoin Cross" in p),
+            ("scan pruned to doc_id,text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
+    audit(
         "multimodal_webp_meta",
         qs["multimodal_webp_meta"](spark, sf_dir),
         [
