@@ -169,7 +169,10 @@ def bpe_vocab(docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGE
 
 
 def bpe_token_counts(
-    docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens): per-document subword token counts under
     a BPE vocabulary trained on the same corpus. The per-word token
@@ -190,6 +193,7 @@ def bpe_token_counts(
         .withColumn("wlist", F.expr(f"filter(split({text_col}, ' '), w -> w <> '')"))
         .select(
             "doc_id",
+            *extra_cols,
             F.expr("cast(size(wlist) as int)").alias("n_words"),
             F.expr(
                 "aggregate(transform(wlist, w0 -> "

@@ -375,9 +375,25 @@ def minhash_lsh_pairs(
     # cannot substitute the alias either. Rows are doc_id + ~|doc| bigints —
     # strictly smaller than the exploded (doc, g) table the join-verify
     # formulation cached.
+    auto = broadcast_verify is None
     garr_all = corpus.select(
         "doc_id", F.expr(shingle_array_expr()).alias("garr")
-    ).persist()
+    )
+    if auto:
+        # shingle-volume stats recorded DURING the one mandatory sizing
+        # action (candidates.count() below, which materializes this cache
+        # anyway) — they replace what used to be a second driver action
+        # (an agg over the persisted candidate arrays): one fewer job per
+        # pass, pure fixed-cost reduction (round-5 LSH floor work)
+        from pyspark.sql import Observation
+
+        garr_obs = Observation("lsh-garr-stats")
+        garr_all = garr_all.observe(
+            garr_obs,
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.expr("size(garr)")), F.lit(0)).alias("slots"),
+        )
+    garr_all = garr_all.persist()
     garr = garr_all.where(
         F.expr("size(garr) > 0")  # docs with <3 words have no shingles (the
         # exploded form drops them implicitly; here it also keeps the empty
@@ -457,32 +473,35 @@ def minhash_lsh_pairs(
     # that always act on the result (gate/bench opt in), wrong as the
     # default: a plan-only caller would leak the persisted intermediates,
     # so the default is the lazy scale-safe shuffle path (False).
-    auto = broadcast_verify is None
     if auto:
         thr = _broadcast_threshold_bytes(corpus.sparkSession)
-        # candidate-id bytes: 2 id slots per pair, ~48 B per slot (string ids
-        # + row overhead) — the semi-join build side
+        # ONE sizing action per pass (round-5 floor work; the old shape ran
+        # a second agg job over the persisted candidate arrays): the count
+        # materializes the garr cache and the candidate cache, and the
+        # observation attached to garr_all records corpus shingle stats on
+        # the way through.
+        # candidate-id bytes: 2 id slots per pair, ~48 B per slot (string
+        # ids + row overhead) — the semi-join build side
         n_pairs = candidates.count()
         bcast_ids = 2 * n_pairs * 48 <= thr
+        # candidate-array bytes: 8 B per shingle hash + ~56 B per row — the
+        # verify-join build side (the driver-collect term that grew F in
+        # the 1.2M-doc probe). Estimated as 2*n_pairs candidate rows at the
+        # corpus-average shingle count: an UPPER bound on the true table
+        # (shared docs dedupe in the semi-join), so the estimate errs
+        # toward the scale-safe shuffle path.
+        g = garr_obs.get
+        avg_slots = (g["slots"] / g["n"]) if g["n"] else 0.0
+        bcast_arr = 2 * n_pairs * (avg_slots * 8 + 56) <= thr
     else:
         bcast_ids = broadcast_verify
+        bcast_arr = broadcast_verify
     maybe_bcast_ids = F.broadcast if bcast_ids else (lambda df: df)
     cand_arr = (
         garr.join(maybe_bcast_ids(cand_ids), "doc_id", "left_semi")
         .withColumn("sz", F.expr("cast(size(garr) as bigint)"))
         .persist()
     )
-    if auto:
-        # candidate-array bytes: 8 B per shingle hash + ~56 B per row — the
-        # verify-join build side (the driver-collect term that grew F in the
-        # 1.2M-doc probe). One agg over the persisted table it warms.
-        st = cand_arr.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum("sz"), F.lit(0)).alias("slots"),
-        ).collect()[0]
-        bcast_arr = st["slots"] * 8 + st["n"] * 56 <= thr
-    else:
-        bcast_arr = broadcast_verify
     maybe_bcast = F.broadcast if bcast_arr else (lambda df: df)
     ca, cb = cand_arr.alias("ca"), cand_arr.alias("cb")
     result = (
