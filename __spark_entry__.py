@@ -1181,6 +1181,21 @@ def q_multimodal_webp(spark, sf_dir):
     return webp_meta_stats(attach_webp(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_webp_frames(spark, sf_dir):
+    """Animated-WebP frame walk end-to-end: a mixed corpus (every 5th-ish
+    doc static, the rest VP8X+ANIM+ANMF animations with 1-4 frames) walked
+    via the 16-byte ANMF headers only — frame count, loop count, total
+    duration, blend/dispose accounting, offset checksum. Params from the
+    fresh streams md5(text||'webpa') / md5(text||'webpf'); closed forms in
+    attach_webp_anim's docstring."""
+    from html_parser_spark.operators.multimodal import (
+        attach_webp_anim,
+        webp_frame_stats,
+    )
+
+    return webp_frame_stats(attach_webp_anim(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_id3(spark, sf_dir):
     """Header-only ID3v2 text-frame walk end-to-end: a spec-correct
     ID3v2.3/2.4 tag (both frame-size formats, all three text encodings
@@ -2033,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix slot is spoken for (3 reshaped + 3 new + 44 standing), and
         # it is locally verified at both sfs like everything else
         "corpus_pack_bpe": q_corpus_pack_bpe,
+        "multimodal_webp_frames": q_multimodal_webp_frames,
         # --- fresh CORRECTNESS_r04 rows below this line ---
         "extract_flagship": q_extract_flagship,
         "extract_errors": q_extract_errors,
@@ -3794,6 +3810,53 @@ def oracle_sql() -> dict[str, str]:
                              WHEN v = 1 THEN 25 + filler + ((5 + filler) % 2)
                              ELSE 48 + filler + (filler % 2)
                         END AS INTEGER) AS riff_bytes
+            FROM p
+        """,
+        "multimodal_webp_frames": """
+            WITH w AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     md5(text || 'webpa') AS ha, md5(text || 'webpf') AS hb
+              FROM documents
+            ), b AS (
+              SELECT doc_id, ha, hb,
+                     CAST('0x' || substr(ha, 1, 2) AS INTEGER) AS a0,
+                     CAST('0x' || substr(ha, 19, 2) AS INTEGER) AS a9,
+                     CAST('0x' || substr(ha, 21, 2) AS INTEGER) AS a10,
+                     CAST('0x' || substr(ha, 23, 2) AS INTEGER) AS a11,
+                     CAST('0x' || substr(ha, 25, 2) AS INTEGER) AS a12
+              FROM w
+            ), p AS (
+              SELECT doc_id, ha, hb, a0, a9, a10, a11,
+                     1 + a12 % 4 AS nf
+              FROM b
+            )
+            SELECT doc_id, 'webp' AS format,
+                   CASE WHEN a0 % 5 = 0 THEN 'not_animated'
+                        ELSE 'animated' END AS outcome,
+                   CAST(CASE WHEN a0 % 5 = 0 THEN NULL ELSE nf END
+                        AS INTEGER) AS n_frames,
+                   CAST(CASE WHEN a0 % 5 = 0 THEN NULL ELSE a9 % 10 END
+                        AS INTEGER) AS loop_count,
+                   CAST(CASE WHEN a0 % 5 = 0 THEN NULL ELSE
+                     list_sum(list_transform(range(0, nf), i ->
+                       10 * (1 + CAST('0x' || substr(ha, 11 + 2 * CAST(i AS INT), 2)
+                                   AS INTEGER) % 25)))
+                   END AS INTEGER) AS total_duration_ms,
+                   CAST(CASE WHEN a0 % 5 = 0 THEN NULL ELSE
+                     list_sum(list_transform(range(0, nf), i ->
+                       (a10 >> CAST(i AS INT)) & 1))
+                   END AS INTEGER) AS n_blend,
+                   CAST(CASE WHEN a0 % 5 = 0 THEN NULL ELSE
+                     list_sum(list_transform(range(0, nf), i ->
+                       (a11 >> CAST(i AS INT)) & 1))
+                   END AS INTEGER) AS n_dispose,
+                   CAST(CASE WHEN a0 % 5 = 0 THEN NULL ELSE
+                     list_sum(list_transform(range(0, nf), i ->
+                       2 * (CAST('0x' || substr(hb, 1 + 4 * CAST(i AS INT), 2)
+                                 AS INTEGER) % 128)
+                       + 2 * (CAST('0x' || substr(hb, 3 + 4 * CAST(i AS INT), 2)
+                                   AS INTEGER) % 128)))
+                   END AS INTEGER) AS sum_xy
             FROM p
         """,
         "multimodal_id3_meta": """

@@ -71,6 +71,8 @@ def synth_webp(
     icc: int = 0,
     xmp: int = 0,
     filler: int = 0,
+    frames=None,
+    loop_count: int = 0,
 ) -> bytes:
     """A spec-correct WebP file of the given variant ('vp8' | 'vp8l' |
     'vp8x'). Dimensions must fit 14 bits (1..16384); `filler` appends that
@@ -94,9 +96,28 @@ def synth_webp(
         vp8x = bytes([flags, 0, 0, 0]) + (width - 1).to_bytes(3, "little") + (
             height - 1
         ).to_bytes(3, "little")
-        chunks = _chunk(b"VP8X", vp8x) + _chunk(
-            b"VP8 ", _vp8_payload(width, height, filler)
-        )
+        chunks = _chunk(b"VP8X", vp8x)
+        if frames is not None:
+            # animated form: ANIM (bg color + loop count) then one ANMF per
+            # frame, each wrapping a lossy frame chunk. `frames` is a list
+            # of dicts {x, y, w, h, duration_ms, blend, dispose}; x/y must
+            # be even (the container stores them halved).
+            chunks += _chunk(b"ANIM", struct.pack("<IH", 0, loop_count))
+            for fr in frames:
+                hdr = (
+                    (fr["x"] // 2).to_bytes(3, "little")
+                    + (fr["y"] // 2).to_bytes(3, "little")
+                    + (fr["w"] - 1).to_bytes(3, "little")
+                    + (fr["h"] - 1).to_bytes(3, "little")
+                    + int(fr["duration_ms"]).to_bytes(3, "little")
+                    + bytes([(fr.get("blend", 0) << 1) | fr.get("dispose", 0)])
+                )
+                chunks += _chunk(
+                    b"ANMF",
+                    hdr + _chunk(b"VP8 ", _vp8_payload(fr["w"], fr["h"], filler)),
+                )
+        else:
+            chunks += _chunk(b"VP8 ", _vp8_payload(width, height, filler))
     else:
         raise ValueError(f"unknown webp variant {variant!r}")
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
@@ -176,4 +197,52 @@ def webp_info(data: bytes) -> Optional[dict]:
                 break
     else:
         return None
+    return out
+
+
+def webp_frames(data: bytes) -> Optional[dict]:
+    """Animation walk -> {loop_count, frames: [{x, y, w, h, duration_ms,
+    blend, dispose}]} for an animated (VP8X + ANIM + ANMF*) WebP, or None
+    when the bytes are not one (non-WebP, non-extended, animation flag
+    clear, or no ANIM chunk). Reads ONLY the 16-byte ANMF headers — frame
+    payloads are skipped via the chunk length fields, so the walk is a
+    handful of range-reads regardless of payload size. Degrades, never
+    raises: a truncated ANMF ends the walk with the frames seen so far."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    pos = 12
+
+    def read_chunk(p):
+        if p + 8 > len(data):
+            return None
+        fourcc = data[p : p + 4]
+        (size,) = struct.unpack_from("<I", data, p + 4)
+        if p + 8 + size > len(data):
+            return None
+        return fourcc, data[p + 8 : p + 8 + size], p + 8 + size + (size % 2)
+
+    first = read_chunk(pos)
+    if first is None or first[0] != b"VP8X" or len(first[1]) != 10:
+        return None
+    if not first[1][0] & _VP8X_ANIM:
+        return None
+    nxt = first[2]
+    out = None
+    while (c := read_chunk(nxt)) is not None:
+        fourcc, payload, nxt = c
+        if fourcc == b"ANIM" and len(payload) >= 6 and out is None:
+            (loop_count,) = struct.unpack_from("<H", payload, 4)
+            out = {"loop_count": loop_count, "frames": []}
+        elif fourcc == b"ANMF" and len(payload) >= 16 and out is not None:
+            out["frames"].append(
+                {
+                    "x": 2 * int.from_bytes(payload[0:3], "little"),
+                    "y": 2 * int.from_bytes(payload[3:6], "little"),
+                    "w": int.from_bytes(payload[6:9], "little") + 1,
+                    "h": int.from_bytes(payload[9:12], "little") + 1,
+                    "duration_ms": int.from_bytes(payload[12:15], "little"),
+                    "blend": (payload[15] >> 1) & 1,
+                    "dispose": payload[15] & 1,
+                }
+            )
     return out

@@ -1429,3 +1429,147 @@ def webp_meta_stats(
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).mapInArrow(kernel, schema=WEBP_META_SCHEMA)
+
+
+WEBP_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("format", StringType()),
+        StructField("outcome", StringType()),  # animated|not_animated|unparseable
+        StructField("n_frames", IntegerType()),
+        StructField("loop_count", IntegerType()),
+        StructField("total_duration_ms", IntegerType()),
+        StructField("n_blend", IntegerType()),
+        StructField("n_dispose", IntegerType()),
+        StructField("sum_xy", IntegerType()),
+    ]
+)
+
+
+def attach_webp_anim(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary): a mixed WebP corpus for the
+    animation walk — every 5th-ish doc is a STATIC lossy WebP (the walk's
+    not-animated path), the rest are animated VP8X+ANIM+ANMF containers.
+    Params from TWO fresh streams (fixture non-overlap rule):
+    a = md5(text||'webpa'): a0 % 5 = 0 -> static; canvas
+    w = 1 + a1 + 256*(a2 % 63), h = 1 + a3 + 256*(a4 % 63); frame
+    durations 10*(1 + a[5+i] % 25) ms; a9 % 10 loop count; a10/a11 bit i
+    = frame i blend/dispose flag; n_frames = 1 + a12 % 4.
+    b = md5(text||'webpf'): frame i offsets x = 2*(b[2i] % 128),
+    y = 2*(b[2i+1] % 128) (stored halved by the container)."""
+    from ..core.webp import synth_webp
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                t = text or ""
+                a = hashlib.md5((t + "webpa").encode("utf-8")).digest()
+                b = hashlib.md5((t + "webpf").encode("utf-8")).digest()
+                w = 1 + a[1] + 256 * (a[2] % 63)
+                h = 1 + a[3] + 256 * (a[4] % 63)
+                if a[0] % 5 == 0:
+                    payloads.append(synth_webp("vp8", w, h))
+                    continue
+                nf = 1 + a[12] % 4
+                frames = [
+                    {
+                        "x": 2 * (b[2 * i] % 128),
+                        "y": 2 * (b[2 * i + 1] % 128),
+                        "w": w,
+                        "h": h,
+                        "duration_ms": 10 * (1 + a[5 + i] % 25),
+                        "blend": (a[10] >> i) & 1,
+                        "dispose": (a[11] >> i) & 1,
+                    }
+                    for i in range(nf)
+                ]
+                payloads.append(
+                    synth_webp(
+                        "vp8x", w, h, anim=1, frames=frames, loop_count=a[9] % 10
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def webp_frame_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Animation walk over a WebP binary column (core/webp.webp_frames):
+    frame count, loop count, total duration, blend/dispose accounting, and
+    a frame-offset checksum — from the 16-byte ANMF headers only, frame
+    payloads skipped via chunk lengths (range-read posture). Static WebPs
+    degrade to 'not_animated', non-WebP bytes to 'unparseable'."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.webp import webp_frames, webp_info
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("format", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("n_frames", pa.int32()),
+                pa.field("loop_count", pa.int32()),
+                pa.field("total_duration_ms", pa.int32()),
+                pa.field("n_blend", pa.int32()),
+                pa.field("n_dispose", pa.int32()),
+                pa.field("sum_xy", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            cols = [[] for _ in range(9)]
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                raw = bytes(p) if p is not None else b""
+                d = webp_frames(raw)
+                if d is not None:
+                    fr = d["frames"]
+                    row = (
+                        "webp", "animated", len(fr), d["loop_count"],
+                        sum(f["duration_ms"] for f in fr),
+                        sum(f["blend"] for f in fr),
+                        sum(f["dispose"] for f in fr),
+                        sum(f["x"] + f["y"] for f in fr),
+                    )
+                elif webp_info(raw) is not None:
+                    row = ("webp", "not_animated", None, None, None, None,
+                           None, None)
+                else:
+                    row = ("webp", "unparseable", None, None, None, None,
+                           None, None)
+                for c, v in zip(cols, (str(doc_id),) + row):
+                    c.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, f.type) for c, f in zip(cols, schema)], schema=schema
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=WEBP_FRAMES_SCHEMA)

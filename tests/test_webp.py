@@ -90,3 +90,56 @@ def test_spark_operator_outcomes(spark):
     )
     got = {r.doc_id: r.outcome for r in webp_meta_stats(mixed).collect()}
     assert got == {"g": "unparseable", "p": "parsed"}
+
+
+def test_anim_roundtrip_and_walk():
+    from html_parser_spark.core.webp import webp_frames
+
+    frames = [
+        dict(x=4, y=2, w=32, h=16, duration_ms=250, blend=1, dispose=0),
+        dict(x=0, y=254, w=8, h=8, duration_ms=10, blend=0, dispose=1),
+        dict(x=100, y=100, w=640, h=480, duration_ms=100000, blend=1, dispose=1),
+    ]
+    raw = synth_webp("vp8x", 640, 480, anim=1, frames=frames, loop_count=9)
+    d = webp_frames(raw)
+    assert d["loop_count"] == 9
+    assert d["frames"] == frames
+    # the static-info walk still reads the same container's flags + canvas
+    i = webp_info(raw)
+    assert (i["variant"], i["has_anim"], i["width"], i["height"]) == (
+        "vp8x", 1, 640, 480,
+    )
+    # non-animated inputs -> None; truncated ANMF ends the walk gracefully
+    assert webp_frames(synth_webp("vp8l", 8, 8)) is None
+    assert webp_frames(synth_webp("vp8x", 8, 8, anim=1)) is None
+    cut = webp_frames(raw[: len(raw) - 30])
+    assert cut is not None and len(cut["frames"]) == 2
+
+
+def test_anim_spark_operator(spark):
+    from html_parser_spark.operators.multimodal import (
+        attach_webp_anim,
+        webp_frame_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"anim text {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in webp_frame_stats(attach_webp_anim(docs)).collect()}
+    outcomes = {r.outcome for r in rows.values()}
+    assert outcomes == {"animated", "not_animated"}  # 40 docs hit both paths
+    for r in rows.values():
+        if r.outcome == "animated":
+            assert 1 <= r.n_frames <= 4
+            assert r.total_duration_ms >= 10 * r.n_frames
+            assert 0 <= r.n_blend <= r.n_frames
+        else:
+            assert r.n_frames is None
+    # unparseable degrade
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    bad = spark.createDataFrame([("g", bytearray(b"junk"))], schema)
+    assert webp_frame_stats(bad).collect()[0].outcome == "unparseable"
