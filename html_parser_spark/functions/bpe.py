@@ -204,3 +204,30 @@ def bpe_token_counts(
             ).alias("n_tokens"),
         )
     )
+
+
+def bpe_token_counts_encoded(
+    docs: DataFrame, merges, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens) under a PRE-TRAINED merge list, computed
+    by the exact merge-fold encode per word — a pure row-local projection,
+    so it runs identically over a batch DataFrame and a streaming one (the
+    production shape: train offline on a corpus snapshot, encode every new
+    shard/stream with the frozen vocabulary). Unlike bpe_token_counts'
+    broadcast-map fast path this needs no trained-corpus join at all and
+    handles out-of-vocabulary words exactly; the map path wins when the
+    text re-uses a known vocabulary heavily."""
+    enc = encode_expr("w0", merges, uid=1)
+    return (
+        docs.withColumn(
+            "wlist", F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
+        )
+        .select(
+            "doc_id",
+            F.expr("cast(size(wlist) as int)").alias("n_words"),
+            F.expr(
+                f"aggregate(transform(wlist, w0 -> cast(size({enc}) as bigint)), "
+                "0L, (x0, y0) -> x0 + y0)"
+            ).alias("n_tokens"),
+        )
+    )

@@ -122,3 +122,49 @@ def test_train_raises_when_corpus_exhausts(spark):
         # 'ab' has 2 pairs -> fully merged after 2 rounds; round 3 must not
         # silently return a short vocabulary
         B.bpe_train(docs, n_merges=3)
+
+
+def test_stream_encode_equals_batch(spark, tmp_path):
+    """Frozen-vocab encode over a STREAM == the batch paths: the merge-fold
+    projection is row-local, so readStream -> encode -> append sink yields
+    exactly bpe_token_counts (broadcast-map path) on in-vocab docs, and
+    exactly the Python encoder on OOV docs the training corpus never saw."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    merges, _words = B.bpe_train(docs, n_merges=10)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows = CORPUS + [(6, "lowest slow zzz"), (7, "newestlow widest low")]
+    input_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(rows, schema).write.parquet(input_dir)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        B.bpe_token_counts_encoded(stream, merges)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id: (r.n_words, r.n_tokens) for r in spark.read.parquet(out_dir).collect()}
+    exp = {
+        i: (
+            len([w for w in t.split() if w]),
+            sum(len(_python_encode(w, merges)) for w in t.split() if w),
+        )
+        for i, t in rows
+    }
+    assert got == exp
+    # in-vocab rows also match the broadcast-map batch path exactly
+    batch = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in B.bpe_token_counts(docs, n_merges=10).collect()
+    }
+    assert all(got[i] == batch[i] for i, _t in CORPUS)
