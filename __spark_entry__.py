@@ -2044,9 +2044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
-        # corpus_pack_bpe sits just past the 50-entry driver prefix: every
-        # prefix slot is spoken for (3 reshaped + 3 new + 44 standing), and
-        # it is locally verified at both sfs like everything else
+        # positions 48-49: with the 3 reshaped plans leading, the block
+        # above holds 41 standing + 3 new entries, so these two new queries
+        # complete the 50-entry driver prefix exactly (position 50 is the
+        # r04-green extract_flagship anchor)
         "corpus_pack_bpe": q_corpus_pack_bpe,
         "multimodal_webp_frames": q_multimodal_webp_frames,
         # --- fresh CORRECTNESS_r04 rows below this line ---
