@@ -551,6 +551,25 @@ def q_corpus_pack(spark, sf_dir):
     )
 
 
+def q_pipeline_extract_bpe(spark, sf_dir):
+    """The engine's actual end-use composed into ONE pipeline: web corpus
+    -> interleaved wrap -> REAL extraction kernel -> per-doc clean text
+    (text spans re-joined in span order) -> BPE vocabulary trained on the
+    EXTRACTED corpus -> per-document real subword token budget
+    (doc_id, n_words, n_tokens). The oracle rebuilds the extracted text
+    closed-form (title + text + text, per the _RECON contract) and replays
+    the 16 training rounds in SQL over that derived corpus — so one gate
+    row pins parser kernel, reassembly, trainer, and encoder end-to-end.
+    One Python crossing, train-side shuffles only; the counting side stays
+    the row-local broadcast-map projection."""
+    from html_parser_spark.functions.bpe import bpe_token_counts
+    from html_parser_spark.operators.extract import extract_spans
+    from html_parser_spark.operators.pipeline import reassembled_documents
+
+    ex = extract_spans(interleaved_from_documents(_docs(spark, sf_dir)))
+    return bpe_token_counts(reassembled_documents(ex))
+
+
 def q_corpus_pack_bpe(spark, sf_dir):
     """Sequence packing on REAL subword counts: same greedy 512-token
     binning as corpus_pack_sequences, but n_tokens is the trained-BPE
@@ -767,21 +786,26 @@ def q_text_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(_docs(spark, sf_dir))
 
 
-def _bpe_rounds_sql(n_merges: int = 16) -> str:
+def _bpe_rounds_sql(
+    n_merges: int = 16, source: str = "documents", lead_ctes: str = ""
+) -> str:
     """The fixed-round BPE train replay as chained CTEs: w0 = the
     distinct-word table with initial char+'</w>' symbol arrays; each round
     r = pair-count groupBy (p{r}) + deterministic argmax (m{r}) +
     list_reduce re-segmentation (w{r}) — the left-to-right non-overlapping
     merge fold mirrors functions/bpe.merge_fold_expr exactly (DuckDB list
     slices are INCLUSIVE, hence acc[:-2] to drop the merged-away tail).
-    Ends without a final SELECT so both BPE oracles share the chain."""
-    sql = """
-        WITH w0 AS MATERIALIZED (
+    Ends without a final SELECT so every BPE oracle shares the chain.
+    `source` names the (doc_id, text) table the train reads; `lead_ctes`
+    injects derived-corpus CTEs (e.g. the extraction reconstruction)
+    between WITH and w0."""
+    sql = f"""
+        WITH {lead_ctes} w0 AS MATERIALIZED (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
                  list_transform(range(1, length(word) + 1),
                                 i -> substr(word, CAST(i AS INT), 1))
                    || ['</w>'] AS syms
-          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {source})
           WHERE word <> '' GROUP BY word
         )"""
     for r in range(1, n_merges + 1):
@@ -2050,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04-green extract_flagship anchor)
         "corpus_pack_bpe": q_corpus_pack_bpe,
         "multimodal_webp_frames": q_multimodal_webp_frames,
+        "pipeline_extract_bpe": q_pipeline_extract_bpe,
         # --- fresh CORRECTNESS_r04 rows below this line ---
         "extract_flagship": q_extract_flagship,
         "extract_errors": q_extract_errors,
@@ -2986,6 +3011,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_before // 512 AS BIGINT) AS bin_id,
                    CAST(cum_before % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "pipeline_extract_bpe": _bpe_rounds_sql(
+            16,
+            source="bdocs",
+            lead_ctes="""bdocs AS (
+              SELECT doc_id,
+                     array_to_string((string_split(text, ' '))[1:3], ' ')
+                       || ' ' || text || ' ' || text AS text
+              FROM documents
+            ),""",
+        )
+        + """,
+            wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok FROM w16),
+            dw AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS word
+              FROM bdocs
+            ),
+            agg AS (
+              SELECT dw.doc_id, CAST(COUNT(*) AS INTEGER) AS n_words,
+                     CAST(SUM(wt.ntok) AS BIGINT) AS n_tokens
+              FROM dw JOIN wt USING (word) GROUP BY dw.doc_id
+            )
+            SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+                   COALESCE(a.n_tokens, 0) AS n_tokens
+            FROM bdocs d LEFT JOIN agg a USING (doc_id)
         """,
         "corpus_pack_bpe": _bpe_rounds_sql(16)
         + """,

@@ -143,3 +143,41 @@ def test_anim_spark_operator(spark):
     )
     bad = spark.createDataFrame([("g", bytearray(b"junk"))], schema)
     assert webp_frame_stats(bad).collect()[0].outcome == "unparseable"
+
+
+def test_fuzz_walks_degrade_never_raise():
+    """Hostile-byte robustness (the core/pdf fuzz discipline): every walk
+    must return a dict or None on ARBITRARY corruptions of real containers
+    — a raised exception inside a mapInArrow kernel would kill the whole
+    scan task at 100 TB."""
+    from hypothesis import given, settings, strategies as st
+
+    from html_parser_spark.core.webp import webp_frames
+
+    frames = [dict(x=2, y=4, w=16, h=8, duration_ms=99, blend=1, dispose=0)]
+    bases = [
+        synth_webp("vp8", 100, 50, filler=9),
+        synth_webp("vp8l", 33, 77, alpha=1, filler=4),
+        synth_webp("vp8x", 64, 64, anim=1, frames=frames, loop_count=3),
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        base=st.sampled_from(range(len(bases))),
+        cut=st.integers(min_value=0, max_value=80),
+        flips=st.lists(
+            st.tuples(st.integers(0, 79), st.integers(0, 255)),
+            max_size=6,
+        ),
+    )
+    def run(base, cut, flips):
+        raw = bytearray(bases[base])
+        for pos, val in flips:
+            if pos < len(raw):
+                raw[pos] = val
+        raw = bytes(raw[: len(raw) - cut if cut < len(raw) else 0])
+        for walk in (webp_info, webp_frames):
+            d = walk(raw)
+            assert d is None or isinstance(d, dict)
+
+    run()
