@@ -1205,6 +1205,21 @@ def q_multimodal_webp(spark, sf_dir):
     return webp_meta_stats(attach_webp(_docs_spread(spark, sf_dir)))
 
 
+def q_multimodal_avif(spark, sf_dir):
+    """Header-only AVIF (ISO-BMFF) walk end-to-end: synthesize a
+    spec-correct single-image AVIF per document (core/avif.synth_avif —
+    ftyp + meta box tree with ispe/pixi/av1C/irot properties, alpha docs
+    carry a second av01 item + auxC) and walk brand / codec binding /
+    extents / bit depth / rotation / item count / payload accounting
+    from ftyp + meta + the mdat size field only (range-read posture at
+    100 TB; the AV1 payload is the documented codec seam). Params from
+    the fresh stream md5(text||'avif') v0..v8; every field has the
+    closed form in attach_avif's docstring."""
+    from html_parser_spark.operators.multimodal import attach_avif, avif_meta_stats
+
+    return avif_meta_stats(attach_avif(_docs_spread(spark, sf_dir)))
+
+
 def q_multimodal_webp_frames(spark, sf_dir):
     """Animated-WebP frame walk end-to-end: a mixed corpus (every 5th-ish
     doc static, the rest VP8X+ANIM+ANMF animations with 1-4 frames) walked
@@ -2024,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # --- new in round 5 ---
         "multimodal_webp_meta": q_multimodal_webp,
+        "multimodal_avif_meta": q_multimodal_avif,
         "text_bpe_vocab": q_text_bpe_vocab,
         "text_bpe_tokens": q_text_bpe_tokens,
         # --- standing r03 rows, re-verify this round ---
@@ -3863,6 +3879,48 @@ def oracle_sql() -> dict[str, str]:
                              WHEN v = 1 THEN 25 + filler + ((5 + filler) % 2)
                              ELSE 48 + filler + (filler % 2)
                         END AS INTEGER) AS riff_bytes
+            FROM p
+        """,
+        "multimodal_avif_meta": """
+            WITH w AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     md5(text || 'avif') AS hv
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(hv, 1, 2) AS INTEGER) AS v0,
+                     CAST('0x' || substr(hv, 3, 2) AS INTEGER) AS v1,
+                     CAST('0x' || substr(hv, 5, 2) AS INTEGER) AS v2,
+                     CAST('0x' || substr(hv, 7, 2) AS INTEGER) AS v3,
+                     CAST('0x' || substr(hv, 9, 2) AS INTEGER) AS v4,
+                     CAST('0x' || substr(hv, 11, 2) AS INTEGER) AS v5,
+                     CAST('0x' || substr(hv, 13, 2) AS INTEGER) AS v6,
+                     CAST('0x' || substr(hv, 15, 2) AS INTEGER) AS v7,
+                     CAST('0x' || substr(hv, 17, 2) AS INTEGER) AS v8
+              FROM w
+            ), p AS (
+              SELECT doc_id,
+                     1 + v0 + 256 * (v1 % 64) AS width,
+                     1 + v2 + 256 * (v3 % 64) AS height,
+                     CASE v4 % 3 WHEN 0 THEN 8 WHEN 1 THEN 10
+                          ELSE 12 END AS bit_depth,
+                     v5 % 4 AS rotation,
+                     v6 % 2 AS alpha,
+                     v7 % 64 AS filler,
+                     CASE WHEN v6 % 2 = 1 THEN v8 % 32 ELSE 0 END AS afill
+              FROM b
+            )
+            SELECT doc_id, 'avif' AS format, 'parsed' AS outcome,
+                   'avif' AS brand, 'av01' AS codec,
+                   CAST(width AS INTEGER) AS width,
+                   CAST(height AS INTEGER) AS height,
+                   CAST(bit_depth AS INTEGER) AS bit_depth,
+                   CAST(rotation AS INTEGER) AS rotation,
+                   CAST(1 + alpha AS INTEGER) AS n_items,
+                   CAST(alpha AS INTEGER) AS has_alpha,
+                   CAST(filler + afill AS INTEGER) AS mdat_bytes,
+                   CAST(CASE WHEN alpha = 1 THEN 348 + filler + afill
+                             ELSE 252 + filler END AS INTEGER) AS file_bytes
             FROM p
         """,
         "multimodal_webp_frames": """

@@ -1573,3 +1573,139 @@ def webp_frame_stats(
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     ).mapInArrow(kernel, schema=WEBP_FRAMES_SCHEMA)
+
+
+AVIF_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("format", StringType()),
+        StructField("outcome", StringType()),  # parsed|unparseable
+        StructField("brand", StringType()),  # avif|avis
+        StructField("codec", StringType()),  # av01 when an av1C binds
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("rotation", IntegerType()),  # irot quarter turns
+        StructField("n_items", IntegerType()),
+        StructField("has_alpha", IntegerType()),  # alpha auxC item present
+        StructField("mdat_bytes", IntegerType()),
+        StructField("file_bytes", IntegerType()),
+    ]
+)
+
+
+def attach_avif(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload: binary): a spec-correct single-image
+    AVIF file (core/avif.synth_avif) per document. Params come from the
+    FRESH stream v = md5(text||'avif') (fixture non-overlap rule):
+    width = 1 + v0 + 256*(v1 % 64), height = 1 + v2 + 256*(v3 % 64);
+    bit_depth = (8,10,12)[v4 % 3]; rotation = v5 % 4; alpha = v6 % 2
+    (adds a second av01 item + auxC property); filler = v7 % 64 mdat
+    payload bytes, alpha_filler = v8 % 32 when alpha. Closed forms:
+      file_bytes = 252 + filler                  (alpha = 0)
+                 = 348 + filler + alpha_filler   (alpha = 1)
+      mdat_bytes = filler + alpha * alpha_filler
+      n_items    = 1 + alpha."""
+    from ..core.avif import synth_avif
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.string()), pa.field("payload", pa.binary())]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            payloads = []
+            for text in texts:
+                v = hashlib.md5(((text or "") + "avif").encode("utf-8")).digest()
+                alpha = v[6] % 2
+                payloads.append(
+                    synth_avif(
+                        1 + v[0] + 256 * (v[1] % 64),
+                        1 + v[2] + 256 * (v[3] % 64),
+                        bit_depth=(8, 10, 12)[v[4] % 3],
+                        rotation=v[5] % 4,
+                        alpha=alpha,
+                        filler=v[7] % 64,
+                        alpha_filler=(v[8] % 32) if alpha else 0,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(i) for i in ids], pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    out_schema = StructType(
+        [StructField("doc_id", StringType()), StructField("payload", BinaryType())]
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInArrow(kernel, schema=out_schema)
+
+
+def avif_meta_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Header-only AVIF walk over a binary column (core/avif.avif_info):
+    brand / codec binding / spatial extents / bit depth / rotation / item
+    count / alpha / payload accounting, reading only ftyp + meta + the
+    mdat size field — a bounded range-read per object at 100 TB; the AV1
+    coefficient payload is the documented codec seam and is never
+    decoded. Non-AVIF bytes degrade to 'unparseable' rows (fields null),
+    never a raised exception mid-scan."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from ..core.avif import avif_info
+
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.string()),
+                pa.field("format", pa.string()),
+                pa.field("outcome", pa.string()),
+                pa.field("brand", pa.string()),
+                pa.field("codec", pa.string()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+                pa.field("bit_depth", pa.int32()),
+                pa.field("rotation", pa.int32()),
+                pa.field("n_items", pa.int32()),
+                pa.field("has_alpha", pa.int32()),
+                pa.field("mdat_bytes", pa.int32()),
+                pa.field("file_bytes", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            cols = [[] for _ in range(13)]
+            for j, doc_id in enumerate(ids):
+                p = payloads[j].as_py()
+                d = avif_info(bytes(p) if p is not None else b"")
+                if d is None:
+                    row = ("avif", "unparseable", None, None, None, None,
+                           None, None, None, None, None, None)
+                else:
+                    row = (
+                        "avif", "parsed", d["brand"], d["codec"], d["width"],
+                        d["height"], d["bit_depth"], d["rotation"],
+                        d["n_items"], d["has_alpha"], d["mdat_bytes"],
+                        d["file_bytes"],
+                    )
+                for c, v in zip(cols, (str(doc_id),) + row):
+                    c.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, f.type) for c, f in zip(cols, schema)], schema=schema
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInArrow(kernel, schema=AVIF_META_SCHEMA)

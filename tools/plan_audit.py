@@ -728,6 +728,17 @@ def main() -> int:
     )
 
     audit(
+        "multimodal_avif_meta",
+        qs["multimodal_avif_meta"](spark, sf_dir),
+        [
+            ("exactly one round-robin spread Exchange feeds the Python "
+             "kernels (single-split serialization defense), nothing wide",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and "roundrobin" in p.lower()),
+        ],
+    )
+
+    audit(
         "extract_links",
         qs["extract_links"](spark, sf_dir),
         [
