@@ -615,6 +615,30 @@ def q_text_bigram_lm(spark, sf_dir):
     return TXT.bigram_lm_score(_docs(spark, sf_dir))
 
 
+def q_sample_importance(spark, sf_dir):
+    """DSIR-shaped importance resampling end-to-end (Xie et al. 2023):
+    hashed-bigram buckets, target = the src0..src3 slice (a 'curated
+    quality' stand-in), Laplace-smoothed integer micro-ratio weights,
+    row-local broadcast-map scoring (corpus never shuffles), deterministic
+    top-120 selection with (score DESC, doc_id ASC) tie-break. The oracle
+    replays the exact bucket counts, clamped weights, and fold —
+    all-integer arithmetic, so both engines agree bit-for-bit."""
+    from html_parser_spark.functions.sampling import importance_resample
+
+    return importance_resample(
+        _docs(spark, sf_dir),
+        "source in ('src0', 'src1', 'src2', 'src3')",
+        top_k=120,
+    ).select(
+        "doc_id", "source",
+        F.expr(
+            "cast(case when source in ('src0','src1','src2','src3') "
+            "then 1 else 0 end as int)"
+        ).alias("is_target"),
+        "n_grams", "score", "rank",
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling: each source strata
     keeps permille = 100 + 40 * (source_number % 10) of its docs by md5
@@ -2066,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap": q_decontaminate,
         "text_bigram_lm": q_text_bigram_lm,
         "sample_stratified": q_sample_stratified,
+        "sample_importance": q_sample_importance,
         "corpus_mix": q_corpus_mix,
         "corpus_pack_sequences": q_corpus_pack,
         "similarity_topk": q_similarity_topk,
@@ -3000,6 +3025,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    CAST(CAST(SUM(p_micro) AS BIGINT) // COUNT(*) AS BIGINT) AS score_micro
             FROM j GROUP BY 1
+        """,
+        "sample_importance": f"""
+            WITH ws AS (
+              SELECT doc_id, source,
+                     CASE WHEN source IN ('src0','src1','src2','src3')
+                          THEN 1 ELSE 0 END AS is_target,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, source, is_target,
+                     list_transform(range(1, len(w)),
+                       i -> {_WORD_HASH_D.format(w="w[i] || ' ' || w[i+1]")}
+                            % 256) AS buckets
+              FROM ws
+            ), occ AS (
+              SELECT is_target, unnest(buckets) AS bucket FROM g
+            ), cnt AS (
+              SELECT bucket,
+                     CAST(SUM(is_target) AS BIGINT) AS c_t,
+                     CAST(SUM(1 - is_target) AS BIGINT) AS c_r
+              FROM occ GROUP BY 1
+            ), wt AS (
+              SELECT bucket,
+                     LEAST(1000000 * (c_t + 1) // (c_r + 1),
+                           1000000000000) AS wgt
+              FROM cnt
+            ), docc AS (
+              SELECT doc_id, unnest(buckets) AS bucket FROM g
+            ), sc AS (
+              SELECT d.doc_id,
+                     CAST(SUM(COALESCE(wt.wgt, 1000000)) AS BIGINT) AS score
+              FROM docc d LEFT JOIN wt USING (bucket)
+              GROUP BY 1
+            ), full_sc AS (
+              SELECT g.doc_id, g.source, CAST(g.is_target AS INTEGER)
+                       AS is_target,
+                     CAST(len(g.buckets) AS INTEGER) AS n_grams,
+                     COALESCE(sc.score, 0) AS score
+              FROM g LEFT JOIN sc USING (doc_id)
+            )
+            SELECT doc_id, source, is_target, n_grams, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INTEGER) AS rank
+            FROM full_sc
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 120
         """,
         "sample_stratified": f"""
             SELECT doc_id, source,

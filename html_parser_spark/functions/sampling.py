@@ -125,6 +125,139 @@ def corpus_mix(
     )
 
 
+# ---------------------------------------------------------------------------
+# Hashed n-gram importance resampling (DSIR-shaped data selection)
+# ---------------------------------------------------------------------------
+
+IMP_UNIT = 1_000_000  # bucket weights carried in integer millionths
+IMP_CLAMP = 1_000_000_000_000  # overflow guard: w <= 1e12 keeps doc sums in int64
+
+
+def _bigram_buckets(text_col: str, n_buckets: int) -> str:
+    """SQL expr: the hashed-bigram bucket array of a text column.
+    zip_with over two slices, NOT transform-with-indexing (the CLAUDE.md
+    O(n^2) re-evaluation trap); empty words from repeated spaces dropped."""
+    ws = f"filter(split({text_col}, ' '), x -> x != '')"
+    grams = (
+        f"case when size({ws}) < 2 then array() else "
+        f"zip_with(slice({ws}, 1, size({ws}) - 1), "
+        f"slice({ws}, 2, size({ws}) - 1), (a, b) -> concat(a, ' ', b)) end"
+    )
+    h = WORD_HASH.format(w="g")
+    return f"transform({grams}, g -> cast(pmod({h}, {n_buckets}) as int))"
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_expr: str,
+    n_buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bucket importance weights in the DSIR shape (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hash every word bigram into `n_buckets` buckets, count OCCURRENCES on
+    the target side (`target_expr` rows) and the raw side (the rest), and
+    weight each bucket by the Laplace-smoothed count ratio in integer
+    micro units:
+
+        w[b] = least(1e6 * (c_t[b] + 1) div (c_r[b] + 1), 1e12)
+
+    The global N_t/N_r normalizations of the true probability ratio are
+    bucket-independent constant factors, so dropping them rescales every
+    doc score equally and preserves the resampling ORDER exactly — which
+    is what lets the weight stay exact int64 (engine-portable: an ANSI
+    oracle reproduces it bit-for-bit, no log/float). The clamp bounds a
+    zero-raw-count blowup so a 1e5-gram doc sum stays far inside int64.
+
+    Output: (bucket int, c_target bigint, c_raw bigint, w bigint),
+    <= n_buckets rows.
+
+    Scale shape: ONE map-side-combinable shuffle — explode collapses to
+    <= n_buckets cells per task before the exchange; both sides counted
+    in the same aggregation (no second corpus pass, no join)."""
+    return (
+        docs.selectExpr(
+            f"case when ({target_expr}) then 1 else 0 end as is_target",
+            f"explode({_bigram_buckets(text_col, n_buckets)}) as bucket",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("sum(is_target)").alias("c_target"),
+            F.expr("sum(1 - is_target)").alias("c_raw"),
+        )
+        .selectExpr(
+            "bucket",
+            "cast(c_target as bigint) as c_target",
+            "cast(c_raw as bigint) as c_raw",
+            f"least({IMP_UNIT} * (c_target + 1) div (c_raw + 1), "
+            f"cast({IMP_CLAMP} as bigint)) as w",
+        )
+    )
+
+
+def importance_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = ("source",),
+) -> DataFrame:
+    """Per-doc importance score: the sum of bucket weights over the doc's
+    bigram occurrences. The <= n_buckets weights collapse into ONE
+    broadcast map row and the sum is a ROW-LOCAL `aggregate` fold — the
+    corpus never shuffles (the bloom-probe shape from functions/sketch).
+    A bucket absent from the weight table scores the neutral
+    1e6 = (0+1)/(0+1), so a weight table estimated on one corpus can
+    score a DIFFERENT (bigger) corpus — the actual DSIR deployment, where
+    weights come from a held-out slice and selection runs over the full
+    raw crawl. Zero-gram docs score 0."""
+    wmap = weights.agg(
+        F.expr("map_from_entries(collect_list(struct(bucket, w))) as _wm")
+    )
+    score = (
+        f"aggregate({_bigram_buckets(text_col, n_buckets)}, "
+        f"cast(0 as bigint), (acc, b) -> acc + "
+        f"coalesce(_wm[b], cast({IMP_UNIT} as bigint)))"
+    )
+    n_grams = f"size({_bigram_buckets(text_col, n_buckets)})"
+    return docs.crossJoin(F.broadcast(wmap)).selectExpr(
+        id_col,
+        *keep_cols,
+        f"cast({n_grams} as int) as n_grams",
+        f"cast({score} as bigint) as score",
+    )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target_expr: str,
+    top_k: int,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = ("source",),
+) -> DataFrame:
+    """Deterministic DSIR-shaped selection: estimate bucket weights from
+    `target_expr` vs the rest, score every doc, keep the `top_k` most
+    target-like docs (score DESC, `id_col` ASC tie-break — RNG-free, so
+    re-runs and the SQL oracle agree row-for-row; DSIR's gumbel-noise
+    variant trades that determinism for diversity). The top-k is a
+    TakeOrdered (no global sort materialization); the rank window runs
+    over the k survivors only, never the corpus."""
+    scored = importance_score(
+        docs, importance_weights(docs, target_expr, n_buckets, text_col),
+        n_buckets, id_col, text_col, keep_cols,
+    )
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(int(top_k))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def chunk_windows(
     docs: DataFrame,
     window: int = 16,

@@ -728,6 +728,22 @@ def main() -> int:
     )
 
     audit(
+        "sample_importance",
+        qs["sample_importance"](spark, sf_dir),
+        [
+            ("TWO Exchanges only: the map-side-combinable bucket-count agg "
+             "and the SinglePartition weight-map fold (<= 256 rows); the "
+             "scoring pass is row-local over ONE broadcast map row and the "
+             "top-k is a TakeOrdered, never a global sort",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+             and "BroadcastExchange" in p
+             and "TakeOrderedAndProject" in p),
+            ("scans pruned: the count pass reads text+source only",
+             lambda p: "ReadSchema: struct<text:string,source:string>" in p),
+        ],
+    )
+
+    audit(
         "multimodal_avif_meta",
         qs["multimodal_avif_meta"](spark, sf_dir),
         [
