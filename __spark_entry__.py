@@ -50,6 +50,7 @@ from html_parser_spark.functions import dedup as DD
 from html_parser_spark.functions import joins as JN
 from html_parser_spark.functions.clustering import (
     kmeans_oracle_sql as _kmeans_oracle_sql,
+    semantic_dedup_oracle_sql as _semantic_dedup_oracle_sql,
 )
 from html_parser_spark.functions import similarity as SIM
 from html_parser_spark.functions import sketch as SK
@@ -238,6 +239,18 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_embedding(spark, sf_dir):
     return DD.embedding_dups(DD.plant_embedding_dups(_embs(spark, sf_dir)))
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup end-to-end (Abbas et al. 2023): k-means-blocked cosine
+    dedup over the planted-duplicate embedding corpus — cluster with the
+    bit-exact quantized kmeans, compare pairs only within a cluster, keep
+    each duplicate pair's farther-from-centroid member. The oracle replays
+    clustering AND the keep rule (the kmeans chain is MATERIALIZED so the
+    pair self-join doesn't re-expand it — the CLAUDE.md CTE invariant)."""
+    from html_parser_spark.functions.clustering import semantic_dedup
+
+    return semantic_dedup(DD.plant_embedding_dups(_embs(spark, sf_dir)))
 
 
 def q_text_langid(spark, sf_dir):
@@ -2075,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_semantic": q_dedup_semantic,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
@@ -2707,6 +2721,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE {_cos_d('a.embedding', 'b.embedding')} >= 0.999
         """,
+        "dedup_semantic": _semantic_dedup_oracle_sql(
+            source="ecorpus",
+            lead_ctes=f"""ecorpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {DD.EMB_OFFSET}, embedding
+              FROM embeddings WHERE vec_id % 4 = 0
+            ),""",
+        ),
         "text_langid": f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
             SELECT doc_id,

@@ -126,8 +126,18 @@ def kmeans_assign(
     )
 
 
-def kmeans_oracle_sql(k: int = K_DEFAULT, n_iter: int = 2, dim: int = 64) -> str:
-    """DuckDB mirror of kmeans_assign (same ops in the same order)."""
+def kmeans_chain_sql(
+    k: int = K_DEFAULT,
+    n_iter: int = 2,
+    dim: int = 64,
+    source: str = "embeddings",
+    final_name: str = "asg",
+) -> str:
+    """DuckDB mirror of kmeans_assign as a composable WITH-chain ending in
+    CTE `final_name` (vec_id, cluster INTEGER, dist DOUBLE). The final CTE
+    is MATERIALIZED (the CLAUDE.md re-expansion invariant: a consumer that
+    references it twice — e.g. semantic_dedup's pair self-join — must not
+    replay the whole iteration chain per reference)."""
     sq = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {dim + 1}), "
@@ -140,7 +150,7 @@ def kmeans_oracle_sql(k: int = K_DEFAULT, n_iter: int = 2, dim: int = 64) -> str
           SELECT vec_id,
                  list_transform(embedding,
                      x -> round(CAST(x AS DOUBLE) * {SCALE}e0)) AS codes
-          FROM embeddings
+          FROM {source}
         ), c0 AS (
           SELECT CAST(vec_id AS INTEGER) AS cid, codes AS cent
           FROM v WHERE vec_id < {k}
@@ -165,12 +175,175 @@ def kmeans_oracle_sql(k: int = K_DEFAULT, n_iter: int = 2, dim: int = 64) -> str
         )"""
         prev = f"c{it + 1}"
     d = sq.format(a="v.codes", b="c.cent")
-    sql += f"""
+    sql += f""", {final_name} AS MATERIALIZED (
         SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist FROM (
           SELECT v.vec_id, c.cid, {d} AS dist,
                  row_number() OVER (PARTITION BY v.vec_id
                                     ORDER BY {d}, c.cid) AS rk
           FROM v, {prev} c
         ) WHERE rk = 1
-    """
+        )"""
     return sql
+
+
+def kmeans_oracle_sql(k: int = K_DEFAULT, n_iter: int = 2, dim: int = 64) -> str:
+    """DuckDB mirror of kmeans_assign (same ops in the same order)."""
+    return (
+        kmeans_chain_sql(k, n_iter, dim)
+        + "\n        SELECT vec_id, cluster, dist FROM asg\n    "
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via cluster-blocked cosine
+# ---------------------------------------------------------------------------
+
+SEM_MIN_COS = 0.999
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    k: int = K_DEFAULT,
+    n_iter: int = 2,
+    dim: int = 64,
+    min_cos: float = SEM_MIN_COS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means the embedding
+    corpus, compare pairs ONLY within a cluster, call cos >= min_cos a
+    semantic duplicate, and within each duplicate pair KEEP the member
+    farther from its centroid (the paper's low-centroid-similarity keep
+    rule — it preserves the cluster's outskirts, dropping redundant
+    near-centroid mass). Ties on distance keep the smaller vec_id.
+
+    Returns one row per input vector:
+      (vec_id, cluster int, dist double, n_dups int, keep int)
+    n_dups = how many same-cluster vectors sit within min_cos of this one;
+    keep = 0 iff some duplicate pair elected this vector its loser.
+
+    Every arithmetic step is engine-portable (quantized kmeans + left-fold
+    cosine), so the SQL oracle reproduces keep decisions bit-exactly.
+
+    Scale posture: clustering is the blocker — the pair join shuffles on
+    cluster id and is quadratic ONLY within a cluster, which is the
+    algorithm's stated cost; k is the knob (k ~ n / desired_cluster_size
+    at production scale, e.g. ~100k clusters for web corpora — the paper
+    uses the same regime; AQE skew-join splits any runaway cluster). The
+    corpus-side join of assignments back to embeddings is one
+    co-partitioned shuffle; everything downstream touches only pairs."""
+    from .dedup import _DOT, _NORM2, _unpersist_with
+
+    assigned = kmeans_assign(embs, k, n_iter, dim)
+    # persisted: the pair step reads base twice (self-join) and the final
+    # keep projection a third time; released with the result (weakref)
+    base = assigned.join(embs.select("vec_id", "embedding"), "vec_id").persist()
+
+    a, b = base.alias("a"), base.alias("b")
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    na2 = _NORM2.format(a="a.embedding")
+    nb2 = _NORM2.format(a="b.embedding")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("a.dist").alias("da"),
+            F.col("b.dist").alias("db"),
+            F.expr(f"{dot} / (sqrt({na2}) * sqrt({nb2}))").alias("cos"),
+        )
+        .where(F.col("cos") >= min_cos)
+    )
+    # per-vector duplicate stats: one explode of the (small) pair set —
+    # loser = the near-centroid member (drop), ties drop the larger id
+    loser = (
+        "case when da < db then va when db < da then vb "
+        "else greatest(va, vb) end"
+    )
+    stats = (
+        pairs.selectExpr(
+            f"explode(array(struct(va as vec_id, "
+            f"case when {loser} = va then 1 else 0 end as lost), "
+            f"struct(vb as vec_id, "
+            f"case when {loser} = vb then 1 else 0 end as lost))) as s"
+        )
+        .select("s.vec_id", "s.lost")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_dups"), F.max("lost").alias("lost"))
+    )
+    result = base.join(stats, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "dist",
+        F.coalesce("n_dups", F.lit(0)).cast("int").alias("n_dups"),
+        (1 - F.coalesce("lost", F.lit(0))).cast("int").alias("keep"),
+    )
+    return _unpersist_with(result, base)
+
+
+def semantic_dedup_oracle_sql(
+    k: int = K_DEFAULT,
+    n_iter: int = 2,
+    dim: int = 64,
+    min_cos: str = "0.999e0",
+    source: str = "embeddings",
+    lead_ctes: str = "",
+) -> str:
+    """DuckDB mirror of semantic_dedup. `min_cos` is a string in
+    e-notation (the CLAUDE.md DECIMAL-literal invariant). `lead_ctes`
+    lets the caller prepend e.g. a planted-duplicate corpus CTE;
+    `source` must then name that CTE."""
+    cos = (
+        "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        "(acc, v) -> acc + v))"
+    )
+    norm2 = (
+        "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
+        "(acc, v) -> acc + v))"
+    )
+    cos_ab = (
+        cos.format(a="a.embedding", b="b.embedding")
+        + " / (sqrt(" + norm2.format(a="a.embedding") + ") * sqrt("
+        + norm2.format(a="b.embedding") + "))"
+    )
+    chain = kmeans_chain_sql(k, n_iter, dim, source=source)
+    if lead_ctes:
+        chain = chain.replace("WITH v AS (", f"WITH {lead_ctes} v AS (", 1)
+    return (
+        chain
+        + f""", base AS MATERIALIZED (
+          SELECT g.vec_id, g.cluster, g.dist, e.embedding
+          FROM asg g JOIN {source} e USING (vec_id)
+        ), prs AS MATERIALIZED (
+          SELECT a.vec_id AS va, b.vec_id AS vb, a.dist AS da, b.dist AS db
+          FROM base a JOIN base b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE {cos_ab} >= {min_cos}
+        ), st AS (
+          SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS n_dups,
+                 MAX(lost) AS lost
+          FROM (
+            SELECT va AS vec_id,
+                   CASE WHEN da < db OR (da = db AND va > vb)
+                        THEN 1 ELSE 0 END AS lost
+            FROM prs
+            UNION ALL
+            SELECT vb,
+                   CASE WHEN db < da OR (da = db AND vb > va)
+                        THEN 1 ELSE 0 END
+            FROM prs
+          ) GROUP BY 1
+        )
+        SELECT b.vec_id, b.cluster, b.dist,
+               COALESCE(st.n_dups, 0) AS n_dups,
+               CAST(1 - COALESCE(st.lost, 0) AS INTEGER) AS keep
+        FROM base b LEFT JOIN st USING (vec_id)
+    """
+    )

@@ -69,3 +69,84 @@ def test_kmeans_matches_oracle_on_seeded_corpus(spark):
         ).fetchall()
     )
     assert spark_out == duck_out  # bit-exact, including dist doubles
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup keep rule: within a duplicate pair the NEAR-centroid member
+    is dropped; exact ties keep the smaller vec_id. Vectors 0/1 seed two
+    well-separated clusters; 2 is a near-copy of 0 slightly FARTHER from
+    the centroid than 0 is, so 0 (nearer) is dropped and 2 kept; 3 is an
+    exact copy of 1 (tie -> 3 dropped); 4 sits near cluster 1 but below
+    the cosine bar -> no dup."""
+    from html_parser_spark.functions.clustering import semantic_dedup
+
+    lo = [1.0, 1.0, 1.0, 1.0]
+    hi = [10.0, 10.0, 10.0, -10.0]
+    rows = [
+        (0, lo),
+        (1, hi),
+        (2, [v * 1.002 for v in lo]),  # same direction (cos=1), near 0
+        (3, list(hi)),                 # exact copy of 1
+        (4, [8.5, 10.0, 10.0, -10.0]),  # same cluster as hi, cos ~0.9978
+        (5, [v * 0.9 for v in lo]),    # same direction, FAR from centroid
+    ]
+    # cluster {0,2,5}: centroid ~967.33 per dim (quantized), so 5 (900) is
+    # the far member and survives; 0 (1000) is nearest -> loses both its
+    # pairs; 2 (1002) loses to 5. Cluster {1,3,4}: 3 is an exact copy of 1
+    # (equal dist -> the larger id, 3, drops); 4 is below the cosine bar.
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r
+        for r in semantic_dedup(docs, k=2, n_iter=2, dim=4).collect()
+    }
+    assert {i: got[i].keep for i in range(6)} == {
+        0: 0, 1: 1, 2: 0, 3: 0, 4: 1, 5: 1,
+    }
+    assert {i: got[i].n_dups for i in range(6)} == {
+        0: 2, 1: 1, 2: 2, 3: 1, 4: 0, 5: 2,
+    }
+    # the two clusters never cross-compare
+    assert got[0].cluster == got[2].cluster != got[1].cluster
+
+
+def test_semantic_dedup_matches_oracle_on_seeded_corpus(spark):
+    import random
+
+    from html_parser_spark.functions.clustering import (
+        semantic_dedup,
+        semantic_dedup_oracle_sql,
+    )
+
+    rnd = random.Random(7)
+    dim = 8
+    rows = []
+    for i in range(40):
+        base = [round(rnd.uniform(-1, 1), 3) for _ in range(dim)]
+        rows.append((i, base))
+    # planted exact copies
+    rows += [(100 + i, list(rows[i][1])) for i in range(0, 40, 5)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r.vec_id, r.cluster, r.dist, r.n_dups, r.keep)
+        for r in semantic_dedup(docs, k=4, n_iter=2, dim=dim).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE corpus AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({vid}, {list(map(float, emb))}::FLOAT[])" for vid, emb in rows
+        )
+        + ") t(vec_id, embedding)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                semantic_dedup_oracle_sql(k=4, n_iter=2, dim=dim, source="corpus")
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # every planted copy loses to its original (tie -> larger id drops)
+    keep = {v: k for v, _, _, _, k in got}
+    assert all(keep[100 + i] == 0 for i in range(0, 40, 5))

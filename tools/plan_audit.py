@@ -728,6 +728,25 @@ def main() -> int:
     )
 
     audit(
+        "dedup_semantic",
+        qs["dedup_semantic"](spark, sf_dir),
+        [
+            ("cluster-BLOCKED pair join: an equi-join keyed on cluster id, "
+             "never a cartesian over the corpus (quadratic only within a "
+             "cluster — the SemDeDup contract; k is the scale knob)",
+             lambda p: "CartesianProduct" not in p
+             and "SortMergeJoin" in p),
+            ("assignment+embedding base is cached once and read by the "
+             "self-join's both sides plus the final keep projection",
+             lambda p: "InMemoryTableScan" in p),
+            ("kmeans inside keeps its row-local shape: centroids broadcast, "
+             "corpus never shuffles for the distance step",
+             lambda p: re.search(r"BroadcastNestedLoopJoin \w+ BuildRight", p)
+             is not None),
+        ],
+    )
+
+    audit(
         "sample_importance",
         qs["sample_importance"](spark, sf_dir),
         [
