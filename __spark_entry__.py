@@ -2063,14 +2063,17 @@ def q_sketch_hll_user_minutes(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-5 rotation (VERDICT r04 item 1): the driver samples a
-        # 50-entry PREFIX of this dict. CORRECTNESS_r04 covered the 44
-        # round-4 queries + 6 extraction anchors; the 44 entries whose
-        # newest driver row is r03 lead here so the r04∪r05 union leaves
-        # no query with a row older than one round. The three plans
-        # RESHAPED in round 4 (kmeans row-local argmin, bloom broadcast
-        # word-map probe, LSH auto verify-path) go first — their r03 rows
-        # predate the reshape. New round-5 queries follow them (no driver
-        # row at all yet).
+        # 50-entry PREFIX of this dict. The prefix holds, in order:
+        # (a) the three plans RESHAPED in round 4 (kmeans row-local argmin,
+        # bloom broadcast word-map probe, LSH auto verify-path) whose r03
+        # rows predate the reshape; (b) the nine queries NEW in round 5
+        # (no driver row at all yet); (c) 38 of the 41 entries whose newest
+        # driver row is r03. The remaining 3 standing entries
+        # (source_jsonl_roundtrip, text_fingerprint, text_phrase_search —
+        # the narrowest plans, unchanged since their r03 rows) sit just
+        # below the boundary: first-ever rows for new operators outrank a
+        # third-round re-confirmation, and all three stay green in
+        # CORRECTNESS_local.json at both sfs and in-suite.
         "kmeans_embeddings": q_kmeans_embeddings,
         "sketch_bloom_decontaminate": q_sketch_bloom,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2079,6 +2082,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avif_meta": q_multimodal_avif,
         "text_bpe_vocab": q_text_bpe_vocab,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "dedup_semantic": q_dedup_semantic,
+        "sample_importance": q_sample_importance,
+        "corpus_pack_bpe": q_corpus_pack_bpe,
+        "multimodal_webp_frames": q_multimodal_webp_frames,
+        "pipeline_extract_bpe": q_pipeline_extract_bpe,
         # --- standing r03 rows, re-verify this round ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2088,23 +2096,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
-        "dedup_semantic": q_dedup_semantic,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "text_pii_redact": q_text_pii_redact,
         "text_card_redact": q_text_card_redact,
-        "text_fingerprint": q_text_fingerprint,
         "text_topk_terms": q_text_topk_terms,
         "text_tfidf": q_text_tfidf,
         "text_bm25_search": q_text_bm25,
         "source_warc_roundtrip": q_source_warc,
-        "source_jsonl_roundtrip": q_source_jsonl,
-        "text_phrase_search": q_text_phrase,
         "decontaminate_overlap": q_decontaminate,
         "text_bigram_lm": q_text_bigram_lm,
         "sample_stratified": q_sample_stratified,
-        "sample_importance": q_sample_importance,
         "corpus_mix": q_corpus_mix,
         "corpus_pack_sequences": q_corpus_pack,
         "similarity_topk": q_similarity_topk,
@@ -2123,13 +2126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
-        # positions 48-49: with the 3 reshaped plans leading, the block
-        # above holds 41 standing + 3 new entries, so these two new queries
-        # complete the 50-entry driver prefix exactly (position 50 is the
-        # r04-green extract_flagship anchor)
-        "corpus_pack_bpe": q_corpus_pack_bpe,
-        "multimodal_webp_frames": q_multimodal_webp_frames,
-        "pipeline_extract_bpe": q_pipeline_extract_bpe,
+        # ---- 50-entry driver prefix ends here (3 reshaped + 9 new + 38
+        # standing). The three demoted standing entries lead the tail. ----
+        "source_jsonl_roundtrip": q_source_jsonl,
+        "text_fingerprint": q_text_fingerprint,
+        "text_phrase_search": q_text_phrase,
         # --- fresh CORRECTNESS_r04 rows below this line ---
         "extract_flagship": q_extract_flagship,
         "extract_errors": q_extract_errors,
