@@ -12,6 +12,9 @@ parallelism levels (the sandbox stand-in for N vs 4N executors).
   spans    repeated-span mining (Lee et al. sub-doc dedup) over the same
            documents-shaped table — the window-heavy 2-exchange class the
            events analytics queries share
+  importance  DSIR-shaped importance resampling over the same table — the
+           two-pass class (one map-side-combinable count shuffle, then a
+           row-local broadcast-map scoring pass + TakeOrdered)
 
 A warm-up pass runs first (JVM JIT + Python worker pool spin-up), then the
 measured passes. Partitioning is pinned (--partitions, extract only) so both
@@ -31,7 +34,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument(
-        "--op", choices=("extract", "parse", "minhash", "spans"), default="extract"
+        "--op",
+        choices=("extract", "parse", "minhash", "spans", "importance"),
+        default="extract",
     )
     ap.add_argument("--partitions", type=int, default=128)
     ap.add_argument("--trials", type=int, default=5)
@@ -63,6 +68,13 @@ def main(argv=None) -> int:
             from html_parser_spark.functions.dedup import repeated_spans
 
             return repeated_spans(df)
+        if args.op == "importance":
+            from html_parser_spark.functions.sampling import importance_resample
+
+            # target = 2/7 of sources; the md5-soup texts give ~63 distinct
+            # bigrams per doc, so the count pass dominates — the operator's
+            # real cost profile
+            return importance_resample(df, "source in ('s0', 's1')", top_k=10_000)
         from html_parser_spark.functions.dedup import minhash_lsh_pairs
 
         # scaling protocol opts into the eager auto verify-path (library

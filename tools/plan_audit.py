@@ -774,6 +774,22 @@ def main() -> int:
     )
 
     audit(
+        "web_robots_decisions",
+        qs["web_robots_decisions"](spark, sf_dir),
+        [
+            ("URL corpus never shuffles: the ONLY Exchange is the tiny "
+             "host distinct (8 rows) feeding the rule synth; the per-host "
+             "rule arrays broadcast and the RFC 9309 longest-match is a "
+             "row-local filter/array_max inside the scan stage",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+             and "BroadcastExchange" in p
+             and "BroadcastHashJoin LeftOuter BuildRight" in p),
+            ("scan pruned to doc_id,text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+
+    audit(
         "extract_links",
         qs["extract_links"](spark, sf_dir),
         [

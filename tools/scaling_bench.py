@@ -6,7 +6,7 @@ reports throughput at both plus scaling efficiency
   eff = throughput(4N) / (4 * throughput(N))
 per operator, and writes BENCH_SCALING.json.
 
-FOUR operators are measured so non-extract kernels can't regress unseen:
+FIVE operators are measured so non-extract kernels can't regress unseen:
   extract  the shuffle-free extraction kernel over the interleaved table
   parse    the full-tree parse kernel (same table, wrap html projected out)
   minhash  MinHash+LSH dedup over a synthetic distinct-text documents table
@@ -17,6 +17,9 @@ FOUR operators are measured so non-extract kernels can't regress unseen:
            instead of the pipeline.
   spans    repeated-span mining over the same documents table (the
            window-heavy 2-exchange class the events analytics share)
+  importance  DSIR-shaped importance resampling over the same table (the
+           two-pass class: one combinable count shuffle + a row-local
+           broadcast-map scoring pass + TakeOrdered)
 
 Per-size wall = MEDIAN of all trials across the interleaved rounds — the
 statistic the BASELINE.md protocol specifies ("median of >=3 runs"), and the
@@ -65,7 +68,7 @@ def main() -> int:
     # corpus — at real corpus sizes walls are minutes and the floor
     # vanishes). Sized so an N invocation stays ~4-5 min.
     ap.add_argument("--minhash-docs", type=int, default=600_000)
-    ap.add_argument("--ops", default="extract,parse,minhash,spans")
+    ap.add_argument("--ops", default="extract,parse,minhash,spans,importance")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--workdir", default="/tmp/scaling_bench")
     ap.add_argument(
@@ -142,7 +145,9 @@ spark.stop()
                         "--py-files", engine_zip,
                         f"{REPO}/jobs/bench_extract.py",
                         "--op", op,
-                        "--input", docs_dir if op in ("minhash", "spans") else interleaved_dir,
+                        "--input", docs_dir
+                        if op in ("minhash", "spans", "importance")
+                        else interleaved_dir,
                         # uniform corpus: no salt exchange (skew defense is a
                         # separate, correctness-tested path)
                         "--partitions", "0",
