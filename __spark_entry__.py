@@ -439,6 +439,37 @@ def q_web_robots(spark, sf_dir):
     return robots_decisions(urls, synth_robots(hosts, "host_canon"))
 
 
+def q_web_crawl_schedule(spark, sf_dir):
+    """Politeness-scheduled crawl frontier composed from the robots pass:
+    the ALLOWED URLs, sequenced per host FIFO (by doc_id) with the host's
+    crawl_delay as inter-fetch spacing -> eta_sec, the earliest time each
+    fetch may start under RFC 9309 politeness (delay defaults to 1 s when
+    the robots.txt sets none). The schedule is the per-host work queue a
+    distributed fetcher shards by host — exactly ONE URL-side Exchange
+    (the host window; the robots decision itself is broadcast-row-local),
+    so frontier construction at crawl scale is a single shuffle."""
+    from pyspark.sql import Window
+
+    from html_parser_spark.functions.robots import robots_decisions, synth_robots
+    from html_parser_spark.functions.url import canonicalize_urls, synth_urls
+
+    urls = synth_urls(_docs(spark, sf_dir))
+    hosts = canonicalize_urls(urls, "url").select("host_canon").distinct()
+    dec = robots_decisions(urls, synth_robots(hosts, "host_canon"))
+    w = Window.partitionBy("host_canon").orderBy("doc_id")
+    return (
+        dec.where("allowed = 1")
+        .withColumn("fetch_seq", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "eta_sec",
+            F.expr(
+                "cast((fetch_seq - 1) * coalesce(crawl_delay, 1) as bigint)"
+            ),
+        )
+        .select("doc_id", "url", "host_canon", "fetch_seq", "eta_sec")
+    )
+
+
 def q_text_langid_multiscript(spark, sf_dir):
     """Unicode script identification (functions/text.synth_multiscript +
     script_profile): documents.text is pure [a-z ] by pinned invariant, so
@@ -2085,15 +2116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry PREFIX of this dict. The prefix holds, in order:
         # (a) the three plans RESHAPED in round 4 (kmeans row-local argmin,
         # bloom broadcast word-map probe, LSH auto verify-path) whose r03
-        # rows predate the reshape; (b) the ten queries NEW in round 5
-        # (no driver row at all yet); (c) 37 of the 41 entries whose newest
-        # driver row is r03. The remaining 4 standing entries
+        # rows predate the reshape; (b) the eleven queries NEW in round 5
+        # (no driver row at all yet); (c) 36 of the 41 entries whose newest
+        # driver row is r03. The remaining 5 standing entries
         # (source_jsonl_roundtrip, text_fingerprint, text_phrase_search,
-        # text_langid — the narrowest zero/one-Exchange plans, unchanged
-        # since their r03 rows; text_langid's module is freshly covered by
-        # the r04 text_langid_multiscript row) sit just below the boundary:
-        # first-ever rows for new operators outrank a third-round
-        # re-confirmation, and all four stay green in
+        # text_langid, text_quality — the narrowest zero/one-Exchange
+        # plans, unchanged since their r03 rows; the text module is freshly
+        # covered by the r04 text_langid_multiscript row) sit just below
+        # the boundary: first-ever rows for new operators outrank a
+        # third-round re-confirmation, and all five stay green in
         # CORRECTNESS_local.json at both sfs and in-suite.
         "kmeans_embeddings": q_kmeans_embeddings,
         "sketch_bloom_decontaminate": q_sketch_bloom,
@@ -2109,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webp_frames": q_multimodal_webp_frames,
         "pipeline_extract_bpe": q_pipeline_extract_bpe,
         "web_robots_decisions": q_web_robots,
+        "web_crawl_schedule": q_web_crawl_schedule,
         # --- standing r03 rows, re-verify this round ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2118,7 +2150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
-        "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "text_pii_redact": q_text_pii_redact,
         "text_card_redact": q_text_card_redact,
@@ -2147,12 +2178,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
-        # ---- 50-entry driver prefix ends here (3 reshaped + 10 new + 37
-        # standing). The four demoted standing entries lead the tail. ----
+        # ---- 50-entry driver prefix ends here (3 reshaped + 11 new + 36
+        # standing). The five demoted standing entries lead the tail. ----
         "source_jsonl_roundtrip": q_source_jsonl,
         "text_fingerprint": q_text_fingerprint,
         "text_phrase_search": q_text_phrase,
         "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
         # --- fresh CORRECTNESS_r04 rows below this line ---
         "extract_flagship": q_extract_flagship,
         "extract_errors": q_extract_errors,
@@ -2407,6 +2439,57 @@ _URL_CTES = """
 """
 
 
+# robots: rules re-derived CLOSED-FORM from md5(host||'robots') (byte j at
+# substr 2j+1; rule i uses bytes 2+3i..4+3i). cpath is always '/p'||(b6%2),
+# so shape s=0/1 ('/p<d>' prefix and exact) matches iff d%4 equals the path
+# digit, s=2 ('/p*') and s=3 ('/') always match. Longest-match winner =
+# row_number over (l DESC, allow DESC, path DESC) — the lexicographic
+# struct order Spark's array_max(struct(l, allow, path)) implements.
+_ROBOTS_CTES = _URL_CTES + """
+            , uu AS (
+              SELECT u.doc_id, u.url, u.host_canon,
+                     p.path_canon AS cpath
+              FROM u JOIN parts p ON u.doc_id = p.doc_id
+            ), hb AS (
+              SELECT host, md5(host || 'robots') AS hr
+              FROM (SELECT DISTINCT host_canon AS host FROM uu)
+            ), rule_raw AS (
+              SELECT host,
+                CAST('0x' || substr(hr, 2*(2+3*i)+1, 2) AS INT) % 3 AS a3,
+                CAST('0x' || substr(hr, 2*(3+3*i)+1, 2) AS INT) % 4 AS d,
+                CAST('0x' || substr(hr, 2*(4+3*i)+1, 2) AS INT) % 4 AS s
+              FROM hb, (SELECT unnest([0, 1, 2, 3]) AS i)
+              WHERE i < 1 + CAST('0x' || substr(hr, 1, 2) AS INT) % 4
+            ), rules AS (
+              SELECT host,
+                CASE s WHEN 0 THEN concat('/p', d)
+                       WHEN 1 THEN concat('/p', d, '$')
+                       WHEN 2 THEN '/p*' ELSE '/' END AS path,
+                CASE WHEN a3 = 2 THEN 1 ELSE 0 END AS allow,
+                CASE s WHEN 0 THEN 3 WHEN 1 THEN 4
+                       WHEN 2 THEN 3 ELSE 1 END AS l,
+                d, s
+              FROM rule_raw
+            ), m AS (
+              SELECT uu.doc_id, r.path, r.allow,
+                row_number() OVER (PARTITION BY uu.doc_id
+                  ORDER BY r.l DESC, r.allow DESC, r.path DESC) AS rn
+              FROM uu JOIN rules r ON uu.host_canon = r.host
+              WHERE r.s IN (2, 3) OR concat('/p', r.d) = uu.cpath
+            ), dec AS (
+              SELECT uu.doc_id, uu.url, uu.host_canon, uu.cpath,
+                     m.path AS matched_path,
+                     CAST(coalesce(m.allow, 1) AS INT) AS allowed,
+                     nullif(CAST('0x' || substr(hb.hr, 3, 2) AS INT) % 5, 0)
+                       AS crawl_delay
+              FROM uu
+              LEFT JOIN (SELECT doc_id, path, allow FROM m WHERE rn = 1) m
+                ON uu.doc_id = m.doc_id
+              LEFT JOIN hb ON uu.host_canon = hb.host
+            )
+"""
+
+
 def _multiscript_oracle() -> str:
     """DuckDB mirror of q_text_langid_multiscript, generated from the SAME
     SCRIPT_BLOCKS/SCRIPT_RANGES tables the Spark operator uses (single
@@ -2554,53 +2637,19 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY host_canon
         """,
         # robots: rules re-derived CLOSED-FORM from md5(host||'robots')
-        # (byte j at substr 2j+1; rule i uses bytes 2+3i..4+3i). cpath is
-        # always '/p'||(b6%2), so shape s=0/1 ('/p<d>' prefix and exact)
-        # matches iff d%4 equals the path digit, s=2 ('/p*') and s=3 ('/')
-        # always match. Longest-match winner = row_number over
-        # (l DESC, allow DESC, path DESC) — the lexicographic struct order
-        # Spark's array_max(struct(l, allow, path)) implements.
-        "web_robots_decisions": _URL_CTES + """
-            , uu AS (
-              SELECT u.doc_id, u.url, u.host_canon,
-                     p.path_canon AS cpath
-              FROM u JOIN parts p ON u.doc_id = p.doc_id
-            ), hb AS (
-              SELECT host, md5(host || 'robots') AS hr
-              FROM (SELECT DISTINCT host_canon AS host FROM uu)
-            ), rule_raw AS (
-              SELECT host,
-                CAST('0x' || substr(hr, 2*(2+3*i)+1, 2) AS INT) % 3 AS a3,
-                CAST('0x' || substr(hr, 2*(3+3*i)+1, 2) AS INT) % 4 AS d,
-                CAST('0x' || substr(hr, 2*(4+3*i)+1, 2) AS INT) % 4 AS s
-              FROM hb, (SELECT unnest([0, 1, 2, 3]) AS i)
-              WHERE i < 1 + CAST('0x' || substr(hr, 1, 2) AS INT) % 4
-            ), rules AS (
-              SELECT host,
-                CASE s WHEN 0 THEN concat('/p', d)
-                       WHEN 1 THEN concat('/p', d, '$')
-                       WHEN 2 THEN '/p*' ELSE '/' END AS path,
-                CASE WHEN a3 = 2 THEN 1 ELSE 0 END AS allow,
-                CASE s WHEN 0 THEN 3 WHEN 1 THEN 4
-                       WHEN 2 THEN 3 ELSE 1 END AS l,
-                d, s
-              FROM rule_raw
-            ), m AS (
-              SELECT uu.doc_id, r.path, r.allow,
-                row_number() OVER (PARTITION BY uu.doc_id
-                  ORDER BY r.l DESC, r.allow DESC, r.path DESC) AS rn
-              FROM uu JOIN rules r ON uu.host_canon = r.host
-              WHERE r.s IN (2, 3) OR concat('/p', r.d) = uu.cpath
-            )
-            SELECT uu.doc_id, uu.url, uu.host_canon, uu.cpath,
-                   m.path AS matched_path,
-                   CAST(coalesce(m.allow, 1) AS INT) AS allowed,
-                   nullif(CAST('0x' || substr(hb.hr, 3, 2) AS INT) % 5, 0)
-                     AS crawl_delay
-            FROM uu
-            LEFT JOIN (SELECT doc_id, path, allow FROM m WHERE rn = 1) m
-              ON uu.doc_id = m.doc_id
-            LEFT JOIN hb ON uu.host_canon = hb.host
+        # (see _ROBOTS_CTES).
+        "web_robots_decisions": _ROBOTS_CTES + """
+            SELECT doc_id, url, host_canon, cpath, matched_path, allowed,
+                   crawl_delay
+            FROM dec
+        """,
+        "web_crawl_schedule": _ROBOTS_CTES + """
+            SELECT doc_id, url, host_canon,
+                   CAST(row_number() OVER w AS INT) AS fetch_seq,
+                   CAST((row_number() OVER w - 1)
+                        * coalesce(crawl_delay, 1) AS BIGINT) AS eta_sec
+            FROM dec WHERE allowed = 1
+            WINDOW w AS (PARTITION BY host_canon ORDER BY doc_id)
         """,
         "text_langid_multiscript": _multiscript_oracle(),
         "extract_flagship": _RECON

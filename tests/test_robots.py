@@ -90,6 +90,39 @@ def test_unknown_host_and_no_match_default_allow(spark):
     assert got2["0"] == (None, 1, None)
 
 
+def test_crawl_schedule_fifo_and_delay_spacing(spark):
+    """The composed frontier query (q_web_crawl_schedule semantics): per
+    host, allowed URLs are sequenced FIFO by doc_id and eta steps by the
+    host's crawl_delay (default 1 s when robots.txt sets none)."""
+    from pyspark.sql import Window
+
+    robots = _robots(spark, "h.com", [("/deny", 0), ("/", 1)], crawl_delay=5)
+    urls = spark.createDataFrame(
+        [
+            ("a", "http://h.com/x"),
+            ("b", "http://h.com/deny/sub"),   # disallowed -> excluded
+            ("c", "http://h.com/y"),
+            ("d", "http://nodelay.org/z"),    # no robots row -> delay 1
+        ],
+        "doc_id string, url string",
+    )
+    dec = robots_decisions(urls, robots)
+    w = Window.partitionBy("host_canon").orderBy("doc_id")
+    out = (
+        dec.where("allowed = 1")
+        .withColumn("fetch_seq", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "eta_sec",
+            F.expr("cast((fetch_seq - 1) * coalesce(crawl_delay, 1) as bigint)"),
+        )
+    )
+    rows = {r.doc_id: (r.fetch_seq, r.eta_sec) for r in out.collect()}
+    assert set(rows) == {"a", "c", "d"}
+    assert rows["a"] == (1, 0)
+    assert rows["c"] == (2, 5)   # second fetch waits one crawl_delay
+    assert rows["d"] == (1, 0)
+
+
 def test_plan_broadcast_and_zero_url_side_exchange(spark):
     robots = _robots(spark, "h.com", [("/a", 0)])
     urls = spark.createDataFrame(

@@ -790,6 +790,21 @@ def main() -> int:
     )
 
     audit(
+        "web_crawl_schedule",
+        qs["web_crawl_schedule"](spark, sf_dir),
+        [
+            ("TWO Exchanges: the tiny host distinct + ONE URL-side shuffle "
+             "(the per-host FIFO window); the robots decision stays "
+             "broadcast-row-local and the allowed=1 filter sits BELOW the "
+             "window Exchange, shrinking the only wide shuffle",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+             and "BroadcastExchange" in p
+             and re.search(r"Window[\s\S]*Exchange[\s\S]*Filter[\s\S]*"
+                           r"BroadcastHashJoin", p) is not None),
+        ],
+    )
+
+    audit(
         "extract_links",
         qs["extract_links"](spark, sf_dir),
         [
