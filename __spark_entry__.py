@@ -492,6 +492,18 @@ def q_text_repetition(spark, sf_dir):
     return TXT.repetition(_docs(spark, sf_dir))
 
 
+def q_corpus_filter_funnel(spark, sf_dir):
+    """The curation funnel a pretraining pipeline runs on a new crawl
+    snapshot, composed end-to-end in one plan: language-ID -> quality
+    gate -> repetition gate -> exact-dedup keep-rule, reported as
+    per-source cumulative survivor counts + the kept token budget.
+    Every stage reuses the standalone operators' exact expressions
+    (functions/text.py shares the fragments), so this one driver row
+    pins all four gates AND their composition. Two Exchanges total:
+    the md5 keep-window and the map-side-combinable groupBy(source)."""
+    return TXT.filter_funnel(_docs(spark, sf_dir))
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII scrubbing over deterministically planted synthetic PII (the
     corpus text is pure [a-z ], so emails/ids are injected from md5
@@ -2116,11 +2128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry PREFIX of this dict. The prefix holds, in order:
         # (a) the three plans RESHAPED in round 4 (kmeans row-local argmin,
         # bloom broadcast word-map probe, LSH auto verify-path) whose r03
-        # rows predate the reshape; (b) the eleven queries NEW in round 5
-        # (no driver row at all yet); (c) 36 of the 41 entries whose newest
-        # driver row is r03. The remaining 5 standing entries
-        # (source_jsonl_roundtrip, text_fingerprint, text_phrase_search,
-        # text_langid, text_quality — the narrowest zero/one-Exchange
+        # rows predate the reshape; (b) the twelve queries NEW in round 5
+        # (no driver row at all yet); (c) 35 of the 41 entries whose newest
+        # driver row is r03. The remaining 6 standing entries
+        # (text_repetition, source_jsonl_roundtrip, text_fingerprint,
+        # text_phrase_search, text_langid, text_quality — zero/one-Exchange
         # plans, unchanged since their r03 rows; the text module is freshly
         # covered by the r04 text_langid_multiscript row) sit just below
         # the boundary: first-ever rows for new operators outrank a
@@ -2141,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract_bpe": q_pipeline_extract_bpe,
         "web_robots_decisions": q_web_robots,
         "web_crawl_schedule": q_web_crawl_schedule,
+        "corpus_filter_funnel": q_corpus_filter_funnel,
         # --- standing r03 rows, re-verify this round ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2150,7 +2163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
-        "text_repetition": q_text_repetition,
         "text_pii_redact": q_text_pii_redact,
         "text_card_redact": q_text_card_redact,
         "text_topk_terms": q_text_topk_terms,
@@ -2178,8 +2190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
-        # ---- 50-entry driver prefix ends here (3 reshaped + 11 new + 36
-        # standing). The five demoted standing entries lead the tail. ----
+        # ---- 50-entry driver prefix ends here (3 reshaped + 12 new + 35
+        # standing). The six demoted standing entries lead the tail
+        # (text_repetition's exact expression fragments are re-verified
+        # transitively by corpus_filter_funnel's driver row — text.py
+        # shares _BIGRAMS/_RUN_BEST between the two). ----
+        "text_repetition": q_text_repetition,
         "source_jsonl_roundtrip": q_source_jsonl,
         "text_fingerprint": q_text_fingerprint,
         "text_phrase_search": q_text_phrase,
@@ -2883,6 +2899,79 @@ def oracle_sql() -> dict[str, str]:
                          AND 3 * n_distinct_words >= n_words
                     THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
             FROM m
+        """,
+        # Composes the text_langid / text_quality / text_repetition /
+        # dedup_exact oracle fragments into the one funnel the Spark side
+        # computes in a single pass. Sums CAST to BIGINT (DuckDB SUM(int)
+        # is HUGEINT); intermediate len() stays native since only the
+        # seven output columns are type-compared.
+        "corpus_filter_funnel": """
+            WITH t AS (SELECT doc_id, source, text,
+                              string_split(text, ' ') AS w FROM documents),
+            bgc AS (
+              SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+                     CAST(SUM(c) AS BIGINT) AS n_bigrams
+              FROM (
+                SELECT doc_id, bg, COUNT(*) AS c
+                FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+                      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i))
+                GROUP BY doc_id, bg)
+              GROUP BY doc_id
+            ),
+            sig AS (
+              SELECT t.doc_id, t.source, md5(t.text) AS text_md5,
+                len(w) AS n_words,
+                len(list_filter(w, x -> list_contains(
+                  ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'on', 'for'], x)))
+                  AS n_stop,
+                len(list_distinct(w)) AS n_distinct_words,
+                list_aggregate(list_transform(w, x -> length(x)), 'max')
+                  AS max_word_len,
+                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(w, x -> (length(x) + 3) // 4)),
+                       (a, b) -> a + b) AS BIGINT) AS n_tokens_bpe,
+                COALESCE(bgc.n_bigrams, 0) AS n_bigrams,
+                COALESCE(bgc.top_bigram_count, 0) AS top_bigram_count,
+                (1000 * (len(w) - len(list_distinct(w)))) // len(w)
+                  AS dup_word_permille
+              FROM t LEFT JOIN bgc ON t.doc_id = bgc.doc_id
+            ),
+            f1 AS (
+              SELECT *, CASE WHEN 1000 * n_stop >= 30 * n_words
+                             THEN 1 ELSE 0 END AS pass_lang
+              FROM sig
+            ),
+            f2 AS (
+              SELECT *, CASE WHEN pass_lang = 1 AND n_words >= 5
+                              AND n_words <= 100000 AND max_word_len <= 40
+                              AND 3 * n_distinct_words >= n_words
+                             THEN 1 ELSE 0 END AS pass_quality
+              FROM f1
+            ),
+            f3 AS (
+              SELECT *, CASE WHEN pass_quality = 1
+                              AND (CASE WHEN n_bigrams = 0 THEN CAST(0 AS BIGINT)
+                                        ELSE (1000 * top_bigram_count) // n_bigrams
+                                   END) <= 66
+                              AND dup_word_permille <= 600
+                             THEN 1 ELSE 0 END AS pass_rep
+              FROM f2
+            ),
+            staged AS (
+              SELECT *, MIN(CASE WHEN pass_rep = 1 THEN doc_id END)
+                          OVER (PARTITION BY text_md5) AS keep_min
+              FROM f3
+            )
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(pass_lang) AS BIGINT) AS n_lang,
+              CAST(SUM(pass_quality) AS BIGINT) AS n_quality,
+              CAST(SUM(pass_rep) AS BIGINT) AS n_rep,
+              CAST(SUM(CASE WHEN pass_rep = 1 AND doc_id = keep_min
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN pass_rep = 1 AND doc_id = keep_min
+                            THEN n_tokens_bpe ELSE 0 END) AS BIGINT) AS tokens_kept
+            FROM staged GROUP BY source
         """,
         "text_repetition": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

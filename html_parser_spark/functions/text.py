@@ -203,6 +203,28 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# Word-bigram expression fragments over a `words` array column, shared by
+# repetition() and filter_funnel() so both paths (and their oracles) agree
+# on the exact same bigram semantics. zip_with over slices, never indexing a
+# lambda-built array (per-element re-eval trap — CLAUDE.md).
+_BIGRAMS = (
+    "filter(zip_with(words, slice(words, 2, greatest(size(words) - 1, 0)), "
+    "(x, y) -> concat(x, ' ', y)), s -> s is not null)"
+)
+# multiplicity of the most frequent bigram WITHOUT an aggregation shuffle:
+# sort the per-row bigram array and fold a longest-equal-run accumulator.
+_RUN_BEST = (
+    f"aggregate(array_sort({_BIGRAMS}), "
+    "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+    "(a, x) -> named_struct("
+    "  'prev', x, "
+    "  'run', if(a.prev is not null and x = a.prev, a.run + 1, 1), "
+    "  'best', greatest(a.best, "
+    "          if(a.prev is not null and x = a.prev, a.run + 1, 1))), "
+    "a -> a.best)"
+)
+
+
 def repetition(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document — the standard
     pretraining filter for boilerplate-ish / degenerate text, computed as
@@ -221,21 +243,7 @@ def repetition(docs: DataFrame) -> DataFrame:
     over it (`aggregate` with a struct state) — all inside whole-stage
     codegen, O(n log n)/row. Bigrams come from zip_with over slices, never
     indexing a lambda-built array (per-element re-eval trap)."""
-    w = "words"
-    bigrams = (
-        f"filter(zip_with({w}, slice({w}, 2, greatest(size({w}) - 1, 0)), "
-        "(x, y) -> concat(x, ' ', y)), s -> s is not null)"
-    )
-    run_best = (
-        f"aggregate(array_sort({bigrams}), "
-        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
-        "(a, x) -> named_struct("
-        "  'prev', x, "
-        "  'run', if(a.prev is not null and x = a.prev, a.run + 1, 1), "
-        "  'best', greatest(a.best, "
-        "          if(a.prev is not null and x = a.prev, a.run + 1, 1))), "
-        "a -> a.best)"
-    )
+    bigrams, run_best = _BIGRAMS, _RUN_BEST
     return (
         with_words(docs)
         .select(
@@ -260,6 +268,99 @@ def repetition(docs: DataFrame) -> DataFrame:
                 "cast(top_bigram_permille <= 66 and dup_word_permille <= 600 as int)"
             ),
         )
+    )
+
+
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """The FineWeb/Gopher-style corpus filter FUNNEL, composed end-to-end
+    in ONE pass: language-ID -> quality gate -> repetition gate -> exact
+    dedup keep-rule, reported as per-source cumulative survivor counts
+    plus the token budget of the kept corpus — the one-page answer a
+    pretraining-data curator asks of a new crawl snapshot.
+
+    Output (one row per source):
+      n_docs       docs ingested
+      n_lang       ... that pass language-ID (stopword mass >= 3%)
+      n_quality    ... that also pass the quality gate (quality() rules)
+      n_rep        ... that also pass the repetition gate (repetition())
+      n_kept       ... that also win the exact-dedup keep-rule
+                   (min doc_id per md5(text), ties broken across sources
+                   globally — a cross-source copy survives exactly once)
+      tokens_kept  sum of BPE-ish subword token counts over kept docs
+
+    Every stage reuses the EXACT expressions of the standalone operators
+    (lang_id / quality / repetition / exact-dedup), so the funnel's gate
+    semantics and the per-operator queries can never drift apart.
+
+    Scale shape: all per-doc signals are one narrow whole-stage-codegen
+    projection (no explode); the dedup keep-rule is a conditional
+    MIN-over-window on md5(text) — survivor-min computed on the FULL frame
+    (min(case when pass_rep then doc_id end)), so no second corpus pass —
+    and the funnel is a map-side-combinable groupBy(source). TWO Exchanges
+    total on corpus-sized data, both on keys (md5, source) that stay
+    uniform at 100 TB."""
+    from pyspark.sql import Window
+
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    sig = with_words(docs).select(
+        "doc_id",
+        "source",
+        F.expr("md5(text)").alias("text_md5"),
+        F.expr("size(words)").alias("n_words"),
+        F.expr(
+            f"size(filter(words, x -> array_contains({stop_arr}, x)))"
+        ).alias("n_stop"),
+        F.expr("size(array_distinct(words))").alias("n_distinct_words"),
+        F.expr(
+            "aggregate(words, 0, (m, x) -> greatest(m, length(x)))"
+        ).alias("max_word_len"),
+        F.expr(
+            "aggregate(words, 0L, (s, x) -> s + div(length(x) + 3, 4))"
+        ).alias("n_tokens_bpe"),
+        F.expr(f"size({_BIGRAMS})").alias("n_bigrams"),
+        F.expr(_RUN_BEST).alias("top_bigram_count"),
+        F.expr(
+            "div(1000 * (size(words) - size(array_distinct(words))), size(words))"
+        ).alias("dup_word_permille"),
+    )
+    flags = (
+        sig.withColumn(
+            "pass_lang", F.expr("cast(1000 * n_stop >= 30 * n_words as int)")
+        )
+        .withColumn(
+            "pass_quality",
+            F.expr(
+                "cast(pass_lang = 1 and n_words >= 5 and n_words <= 100000 "
+                "and max_word_len <= 40 "
+                "and 3 * n_distinct_words >= n_words as int)"
+            ),
+        )
+        .withColumn(
+            "pass_rep",
+            F.expr(
+                "cast(pass_quality = 1 "
+                "and if(n_bigrams = 0, cast(0 as bigint), "
+                "       div(1000 * top_bigram_count, n_bigrams)) <= 66 "
+                "and dup_word_permille <= 600 as int)"
+            ),
+        )
+    )
+    w = Window.partitionBy("text_md5")
+    staged = flags.withColumn(
+        "keep_min",
+        F.min(F.expr("case when pass_rep = 1 then doc_id end")).over(w),
+    ).withColumn(
+        "is_kept", F.expr("cast(pass_rep = 1 and doc_id = keep_min as int)")
+    )
+    return staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(pass_lang)").alias("n_lang"),
+        F.expr("sum(pass_quality)").alias("n_quality"),
+        F.expr("sum(pass_rep)").alias("n_rep"),
+        F.expr("sum(is_kept)").alias("n_kept"),
+        F.expr(
+            "sum(case when is_kept = 1 then n_tokens_bpe else 0L end)"
+        ).alias("tokens_kept"),
     )
 
 

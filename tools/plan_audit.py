@@ -488,6 +488,26 @@ def main() -> int:
     )
 
     audit(
+        "corpus_filter_funnel",
+        qs["corpus_filter_funnel"](spark, sf_dir),
+        [
+            ("TWO Exchanges total: the md5 keep-window partition + the "
+             "funnel groupBy(source); all four gate signals are one "
+             "narrow projection (no Generate/explode, no join)",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+             and "Generate" not in p and "Join" not in p),
+            ("funnel aggregate is map-side combinable (partial "
+             "HashAggregate below its Exchange)",
+             lambda p: re.search(
+                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"
+                 r"[\s\S]*Window", p) is not None),
+            ("scan pruned to doc_id,text,source",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string,"
+             "source:string>" in p),
+        ],
+    )
+
+    audit(
         "text_pii_redact",
         qs["text_pii_redact"](spark, sf_dir),
         [
