@@ -470,6 +470,32 @@ def q_web_crawl_schedule(spark, sf_dir):
     )
 
 
+def q_web_sitemap_frontier(spark, sf_dir):
+    """Sitemap-discovery frontier (functions/robots.py sitemap half): a
+    deterministic <urlset> XML document per canonical host (fresh
+    md5(host||'sitemap') stream, 1-4 <url> entries over the SAME /p<d>
+    path space the robots rules target), parsed back with the REAL tree
+    kernel — not a regex — then each recovered (loc, lastmod, priority)
+    entry is annotated with the host's RFC 9309 longest-match decision
+    via the broadcast rule arrays. Sitemap discovery + robots governance
+    are the two halves of crawl-frontier construction; this query pins
+    their composition AND the parser's behavior on non-HTML markup. The
+    oracle re-derives entries and winners closed-form from the same md5
+    bytes (constructor pins parser)."""
+    from html_parser_spark.functions.robots import (
+        sitemap_entries,
+        sitemap_frontier,
+        synth_robots,
+        synth_sitemaps,
+    )
+    from html_parser_spark.functions.url import canonicalize_urls, synth_urls
+
+    urls = synth_urls(_docs(spark, sf_dir))
+    hosts = canonicalize_urls(urls, "url").select("host_canon").distinct()
+    ent = sitemap_entries(synth_sitemaps(hosts, "host_canon"))
+    return sitemap_frontier(ent, synth_robots(hosts, "host_canon"))
+
+
 def q_text_langid_multiscript(spark, sf_dir):
     """Unicode script identification (functions/text.synth_multiscript +
     script_profile): documents.text is pure [a-z ] by pinned invariant, so
@@ -2128,11 +2154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry PREFIX of this dict. The prefix holds, in order:
         # (a) the three plans RESHAPED in round 4 (kmeans row-local argmin,
         # bloom broadcast word-map probe, LSH auto verify-path) whose r03
-        # rows predate the reshape; (b) the twelve queries NEW in round 5
-        # (no driver row at all yet); (c) 35 of the 41 entries whose newest
-        # driver row is r03. The remaining 6 standing entries
-        # (text_repetition, source_jsonl_roundtrip, text_fingerprint,
-        # text_phrase_search, text_langid, text_quality — zero/one-Exchange
+        # rows predate the reshape; (b) the thirteen queries NEW in round 5
+        # (no driver row at all yet); (c) 34 of the 41 entries whose newest
+        # driver row is r03. The remaining 7 standing entries
+        # (text_repetition, text_topk_terms, source_jsonl_roundtrip,
+        # text_fingerprint, text_phrase_search, text_langid, text_quality
+        # — zero/one-Exchange
         # plans, unchanged since their r03 rows; the text module is freshly
         # covered by the r04 text_langid_multiscript row) sit just below
         # the boundary: first-ever rows for new operators outrank a
@@ -2154,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_decisions": q_web_robots,
         "web_crawl_schedule": q_web_crawl_schedule,
         "corpus_filter_funnel": q_corpus_filter_funnel,
+        "web_sitemap_frontier": q_web_sitemap_frontier,
         # --- standing r03 rows, re-verify this round ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2165,7 +2193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding,
         "text_pii_redact": q_text_pii_redact,
         "text_card_redact": q_text_card_redact,
-        "text_topk_terms": q_text_topk_terms,
         "text_tfidf": q_text_tfidf,
         "text_bm25_search": q_text_bm25,
         "source_warc_roundtrip": q_source_warc,
@@ -2190,12 +2217,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_attrs": q_diff_attrs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_decode": q_multimodal_image,
-        # ---- 50-entry driver prefix ends here (3 reshaped + 12 new + 35
-        # standing). The six demoted standing entries lead the tail
+        # ---- 50-entry driver prefix ends here (3 reshaped + 13 new + 34
+        # standing). The seven demoted standing entries lead the tail
         # (text_repetition's exact expression fragments are re-verified
         # transitively by corpus_filter_funnel's driver row — text.py
-        # shares _BIGRAMS/_RUN_BEST between the two). ----
+        # shares _BIGRAMS/_RUN_BEST between the two — and text_topk_terms'
+        # doc_frequency machinery by text_tfidf, which stays in). ----
         "text_repetition": q_text_repetition,
+        "text_topk_terms": q_text_topk_terms,
         "source_jsonl_roundtrip": q_source_jsonl,
         "text_fingerprint": q_text_fingerprint,
         "text_phrase_search": q_text_phrase,
@@ -2666,6 +2695,41 @@ def oracle_sql() -> dict[str, str]:
                         * coalesce(crawl_delay, 1) AS BIGINT) AS eta_sec
             FROM dec WHERE allowed = 1
             WINDOW w AS (PARTITION BY host_canon ORDER BY doc_id)
+        """,
+        # sitemap entries re-derived CLOSED-FORM from md5(host||'sitemap')
+        # (entry i uses bytes 1+3i..3+3i); the Spark side recovers them by
+        # PARSING the synthesized <urlset> XML with the real tree kernel,
+        # so a value mismatch here means the parser mangled the markup.
+        # Robots winner logic shared with _ROBOTS_CTES' `rules`.
+        "web_sitemap_frontier": _ROBOTS_CTES + """
+            , hs AS (SELECT DISTINCT host_canon AS host FROM u)
+            , smb AS (SELECT host, md5(host || 'sitemap') AS ms FROM hs)
+            , ent AS (
+              SELECT host, CAST(i + 1 AS INT) AS seq,
+                CAST('0x' || substr(ms, 2*(1+3*i)+1, 2) AS INT) % 4 AS pd,
+                1 + CAST('0x' || substr(ms, 2*(2+3*i)+1, 2) AS INT) % 28
+                  AS day,
+                CAST('0x' || substr(ms, 2*(3+3*i)+1, 2) AS INT) % 10 AS pr
+              FROM smb, (SELECT unnest([0, 1, 2, 3]) AS i)
+              WHERE i < 1 + CAST('0x' || substr(ms, 1, 2) AS INT) % 4
+            ), sm_m AS (
+              SELECT e.host, e.seq, r.path, r.allow,
+                row_number() OVER (PARTITION BY e.host, e.seq
+                  ORDER BY r.l DESC, r.allow DESC, r.path DESC) AS rn
+              FROM ent e JOIN rules r ON e.host = r.host
+              WHERE r.s IN (2, 3) OR r.d = e.pd
+            )
+            SELECT e.host, e.seq,
+              concat('https://', e.host, '/p', e.pd) AS loc,
+              concat('2026-01-', lpad(CAST(e.day AS VARCHAR), 2, '0'))
+                AS lastmod,
+              CAST(e.pr * 100 AS INT) AS priority_permille,
+              m.path AS matched_path,
+              CAST(coalesce(m.allow, 1) AS INT) AS allowed
+            FROM ent e
+            LEFT JOIN (SELECT host, seq, path, allow
+                       FROM sm_m WHERE rn = 1) m
+              ON e.host = m.host AND e.seq = m.seq
         """,
         "text_langid_multiscript": _multiscript_oracle(),
         "extract_flagship": _RECON

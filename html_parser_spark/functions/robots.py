@@ -137,3 +137,112 @@ def robots_decisions(
         F.expr(f"coalesce({best}.allow, 1)").cast("int").alias("allowed"),
         "crawl_delay",
     )
+
+
+def synth_sitemaps(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """(host, xml): a deterministic sitemap XML document per host from the
+    fresh stream m = md5(host||'sitemap') (bytes m0..m12 — CLAUDE.md
+    fixture rule: every new media/web fixture derives its own stream):
+
+      n_urls = 1 + m0 % 4; entry i (bytes m[1+3i], m[2+3i], m[3+3i]):
+        loc      = 'https://<host>/p' || (m[1+3i] % 4)   -- the SAME /p<d>
+                   path space the robots rules target, so the downstream
+                   allow/deny decision is non-trivial
+        lastmod  = '2026-01-' || lpad(1 + m[2+3i] % 28, 2, '0')
+        priority = '0.' || (m[3+3i] % 10)
+
+    emitted as real <urlset>/<url>/<loc>/<lastmod>/<priority> markup so
+    the REAL parse kernel (not a regex) recovers the entries. Every field
+    has a closed form the gate oracle re-derives from the same bytes."""
+    b = [
+        f"cast(conv(substr(ms, {2 * j + 1}, 2), 16, 10) as int)"
+        for j in range(13)
+    ]
+    entries = []
+    for i in range(4):
+        pd, day, pr = b[1 + 3 * i], b[2 + 3 * i], b[3 + 3 * i]
+        entries.append(
+            f"concat('<url><loc>https://', {host_col}, '/p', {pd} % 4, "
+            f"'</loc><lastmod>2026-01-', lpad(1 + {day} % 28, 2, '0'), "
+            f"'</lastmod><priority>0.', {pr} % 10, '</priority></url>')"
+        )
+    return hosts.withColumn(
+        "ms", F.expr(f"md5(concat({host_col}, 'sitemap'))")
+    ).select(
+        F.col(host_col).alias("host"),
+        F.expr(
+            f"concat('<urlset>', array_join(slice(array("
+            f"{', '.join(entries)}), 1, 1 + {b[0]} % 4), ''), '</urlset>')"
+        ).alias("xml"),
+    )
+
+
+def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
+    """Parse sitemap XML with the REAL tree kernel and recover the entry
+    list: (host, seq int, loc, lastmod, priority_permille int).
+
+    The kernel returns the node array per sitemap; reconstruction is
+    ROW-LOCAL over that array: project the text-node contents in document
+    order (loc_1, lastmod_1, priority_1, loc_2, ...), split the stride-3
+    interleave with index-lambda `filter`s over the MATERIALIZED column
+    (never indexing a lambda-built array — the per-element re-eval trap),
+    zip the three slices, and posexplode. The explode is the output, not
+    an intermediate; no shuffle anywhere in this stage."""
+    from ..operators.parse import parse_nodes
+
+    parsed = parse_nodes(sitemaps, html_col="xml", id_col="host")
+    texts = parsed.where("status = 'ok'").select(
+        F.col("doc_id").alias("host"),
+        F.expr(
+            "transform(filter(nodes, n -> n.kind = 'Text'), n -> n.content)"
+        ).alias("texts"),
+    )
+    split3 = texts.select(
+        "host",
+        F.expr("filter(texts, (x, i) -> i % 3 = 0)").alias("locs"),
+        F.expr("filter(texts, (x, i) -> i % 3 = 1)").alias("mods"),
+        F.expr("filter(texts, (x, i) -> i % 3 = 2)").alias("prs"),
+    )
+    return split3.select(
+        "host",
+        F.expr("posexplode(arrays_zip(locs, mods, prs))").alias(
+            "pos", "e"
+        ),
+    ).select(
+        "host",
+        F.expr("cast(pos + 1 as int)").alias("seq"),
+        F.col("e.locs").alias("loc"),
+        F.col("e.mods").alias("lastmod"),
+        F.expr("cast(substring(e.prs, 3, 1) as int) * 100").alias(
+            "priority_permille"
+        ),
+    )
+
+
+def sitemap_frontier(entries: DataFrame, robots: DataFrame) -> DataFrame:
+    """Sitemap-discovered crawl frontier: each parsed sitemap entry
+    annotated with the host's RFC 9309 robots decision for its loc path —
+    the seed list a crawler actually enqueues (sitemap discovery and
+    robots governance are the two halves of frontier construction).
+
+    Same scale shape as robots_decisions: the per-host rule arrays
+    BROADCAST and the longest-match is a row-local filter + array_max;
+    the entry stream never shuffles."""
+    joined = entries.withColumn(
+        "cpath",
+        F.expr("regexp_extract(loc, '^[a-z]+://[^/]*([^?#]*)', 1)"),
+    ).join(F.broadcast(robots), on="host", how="left")
+    best = (
+        "array_max(transform("
+        "filter(coalesce(rules, array()), r -> cpath rlike r.rx), "
+        "m -> struct(m.l as l, m.allow as allow, m.path as path)))"
+    )
+    return joined.select(
+        "host",
+        "seq",
+        "loc",
+        "lastmod",
+        "priority_permille",
+        F.expr(f"{best}.path").alias("matched_path"),
+        F.expr(f"coalesce({best}.allow, 1)").cast("int").alias("allowed"),
+    )

@@ -825,6 +825,28 @@ def main() -> int:
     )
 
     audit(
+        "web_sitemap_frontier",
+        qs["web_sitemap_frontier"](spark, sf_dir),
+        [
+            ("the only two Exchanges are the tiny host-distinct "
+             "aggregations (one per branch: sitemap synth + robots synth), "
+             "each map-side partial — the URL corpus never shuffles",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+             and len(re.findall(
+                 r"HashAggregate[\s\S]{0,400}?Exchange[\s\S]{0,400}?"
+                 r"HashAggregate", p)) >= 2),
+            ("sitemap XML goes through the REAL parse kernel (MapInArrow), "
+             "and the robots rule arrays attach by broadcast",
+             lambda p: "MapInArrow" in p
+             and "BroadcastHashJoin LeftOuter BuildRight" in p),
+            ("the posexplode Generate is the output stage, above the "
+             "kernel, not a shuffled intermediate",
+             lambda p: re.search(r"Generate[\s\S]*MapInArrow", p)
+             is not None),
+        ],
+    )
+
+    audit(
         "extract_links",
         qs["extract_links"](spark, sf_dir),
         [
