@@ -288,7 +288,8 @@ def q_graph_domain_pagerank(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(hid.format(h="host_canon")).alias("src"),
     )
-    dst = q_extract_links(spark, sf_dir).select(
+    links = q_extract_links(spark, sf_dir)
+    dst = links.select(
         "doc_id",
         F.expr(
             hid.format(h="regexp_extract(href_canon, '://([^/]*)', 1)")
@@ -296,7 +297,12 @@ def q_graph_domain_pagerank(spark, sf_dir):
     )
     edges = src.join(dst, "doc_id").select("src", "dst")
     nodes = spark.range(10).select(F.col("id").alias("node"))
-    return pagerank(nodes, edges)
+    res = pagerank(nodes, edges)
+    # DD._unpersist_with CONTRACT: keep the links df alive or its parse
+    # cache GC-unpersists before the action and the kernel re-runs per
+    # consumer branch.
+    res._keepalive_links = links
+    return res
 
 
 def q_text_tokens_multiscript(spark, sf_dir):
@@ -386,6 +392,41 @@ def q_extract_links(spark, sf_dir):
         "anchor_text",
     )
     return DD._unpersist_with(out, parsed)
+
+
+def q_web_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per canonical target URL
+    (functions/url.anchor_stats) over the REAL-parser link table from
+    q_extract_links — the link-derived target-page representation (modal
+    anchor + anchor vocabulary + in-link count) that search and pretraining
+    pipelines attach to every URL. Two map-side-combined Exchanges; the
+    oracle replays the extract_links closed form and re-derives the modal
+    anchor with an explicit (cnt DESC, anchor ASC) row_number so the
+    min(struct(-cnt, anchor)) tie-break is pinned exactly."""
+    from html_parser_spark.functions.url import anchor_stats
+
+    links = q_extract_links(spark, sf_dir)
+    res = anchor_stats(links)
+    # DD._unpersist_with CONTRACT: deriving a child and dropping `links`
+    # would GC-unpersist the parse cache before any action runs, and the
+    # kernel would execute once per consumer branch (3x). Tie its lifetime
+    # to the result instead.
+    res._keepalive_links = links
+    return res
+
+
+def q_web_crawl_delta(spark, sf_dir):
+    """Incremental-recrawl snapshot delta (functions/crawl.crawl_delta):
+    documents as snapshot A, a deterministic synth_snapshot2 as snapshot B
+    (doc_id%17 lanes: ==3 gone, in(1,5) edited, ==7 spawns a new page),
+    full-outer join on doc_id over ~50-byte scan-side digests (text never
+    shuffles), rolled up to per-(source, status) doc and char budgets —
+    the operator that decides which documents re-enter the extraction
+    kernel each day. Oracle replays the synth lanes and the join in SQL."""
+    from html_parser_spark.functions.crawl import crawl_delta, synth_snapshot2
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return crawl_delta(docs, synth_snapshot2(docs))
 
 
 def q_url_canonical_dedup(spark, sf_dir):
@@ -2154,12 +2195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry PREFIX of this dict. The prefix holds, in order:
         # (a) the three plans RESHAPED in round 4 (kmeans row-local argmin,
         # bloom broadcast word-map probe, LSH auto verify-path) whose r03
-        # rows predate the reshape; (b) the thirteen queries NEW in round 5
-        # (no driver row at all yet); (c) 34 of the 41 entries whose newest
-        # driver row is r03. The remaining 7 standing entries
+        # rows predate the reshape; (b) the fifteen queries NEW in round 5
+        # (no driver row at all yet); (c) 32 of the 41 entries whose newest
+        # driver row is r03. The remaining 9 standing entries
         # (text_repetition, text_topk_terms, source_jsonl_roundtrip,
-        # text_fingerprint, text_phrase_search, text_langid, text_quality
-        # — zero/one-Exchange
+        # text_fingerprint, text_phrase_search, text_langid, text_quality,
+        # multimodal_meta, multimodal_image_decode — zero/one-Exchange
         # plans, unchanged since their r03 rows; the text module is freshly
         # covered by the r04 text_langid_multiscript row) sit just below
         # the boundary: first-ever rows for new operators outrank a
@@ -2182,6 +2223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_schedule": q_web_crawl_schedule,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "web_sitemap_frontier": q_web_sitemap_frontier,
+        "web_anchor_text": q_web_anchor_text,
+        "web_crawl_delta": q_web_crawl_delta,
         # --- standing r03 rows, re-verify this round ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -2423,6 +2466,29 @@ _WORD_HASH_D = "CAST('0x' || substr(md5({w}), 1, 8) AS BIGINT)"
 _STOP_LIST_D = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS) + "]"
 
 
+# extract_links closed form, shared by the extract_links oracle and the
+# web_anchor_text aggregation oracle (single source of truth — the
+# _pagerank_rounds_sql pattern).
+_LINKS_SQL = """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), k AS (
+              SELECT doc_id, w,
+                     least(1 + doc_id % 3, len(w) // 2) AS k_eff
+              FROM t
+            ), l AS (
+              SELECT doc_id, w, unnest(range(0, k_eff)) AS j FROM k
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(j AS INTEGER) AS link_idx,
+                   concat('HTTP://WWW.Site', (doc_id + j) % 5, '.COM:80/p',
+                          j, '/?utm_source=x&q=', j % 2) AS href,
+                   concat('http://site', (doc_id + j) % 5, '.com/p', j,
+                          '?q=', j % 2) AS href_canon,
+                   w[CAST(2 * j + 2 AS INTEGER)] AS anchor_text
+            FROM l
+"""
+
 _URL_CTES = """
             WITH h AS (
               SELECT doc_id, md5(text || 'url') AS hx FROM documents
@@ -2649,24 +2715,58 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS n_tokens_aware
             FROM documents
         """,
-        "extract_links": """
-            WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            ), k AS (
-              SELECT doc_id, w,
-                     least(1 + doc_id % 3, len(w) // 2) AS k_eff
-              FROM t
-            ), l AS (
-              SELECT doc_id, w, unnest(range(0, k_eff)) AS j FROM k
+        "extract_links": _LINKS_SQL,
+        # modal anchor pinned with an explicit (cnt DESC, anchor ASC)
+        # row_number — the SQL spelling of min(struct(-cnt, anchor)).
+        "web_anchor_text": f"""
+            WITH pairs AS (
+              SELECT href_canon, anchor_text, COUNT(*) AS cnt
+              FROM ({_LINKS_SQL}) GROUP BY 1, 2
+            ), tops AS (
+              SELECT href_canon, anchor_text, cnt,
+                     row_number() OVER (PARTITION BY href_canon
+                       ORDER BY cnt DESC, anchor_text) AS rn
+              FROM pairs
             )
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   CAST(j AS INTEGER) AS link_idx,
-                   concat('HTTP://WWW.Site', (doc_id + j) % 5, '.COM:80/p',
-                          j, '/?utm_source=x&q=', j % 2) AS href,
-                   concat('http://site', (doc_id + j) % 5, '.com/p', j,
-                          '?q=', j % 2) AS href_canon,
-                   w[CAST(2 * j + 2 AS INTEGER)] AS anchor_text
-            FROM l
+            SELECT p.href_canon,
+                   CAST(SUM(p.cnt) AS BIGINT) AS in_links,
+                   CAST(COUNT(*) AS BIGINT) AS n_anchors,
+                   t.anchor_text AS top_anchor,
+                   CAST(t.cnt AS BIGINT) AS top_anchor_links
+            FROM pairs p
+            JOIN (SELECT * FROM tops WHERE rn = 1) t
+              ON p.href_canon = t.href_canon
+            GROUP BY 1, 4, 5
+        """,
+        # snapshot-B lanes replayed closed-form (doc_id%17: 3 gone,
+        # 1/5 edited, 7 spawns doc_id+1e9); md5 equality == text equality.
+        "web_crawl_delta": """
+            WITH a AS (
+              SELECT doc_id, source, md5(text) AS h, len(text) AS l
+              FROM documents
+            ), b0 AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 17 IN (1, 5) THEN text || ' rev'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 != 3
+              UNION ALL
+              SELECT doc_id + 1000000000, source, 'fresh ' || text
+              FROM documents WHERE doc_id % 17 = 7
+            ), b AS (
+              SELECT doc_id, source, md5(text) AS h, len(text) AS l FROM b0
+            ), j AS (
+              SELECT coalesce(b.source, a.source) AS source,
+                     CASE WHEN b.doc_id IS NULL THEN 'gone'
+                          WHEN a.doc_id IS NULL THEN 'new'
+                          WHEN a.h = b.h THEN 'unchanged'
+                          ELSE 'changed' END AS status,
+                     coalesce(b.l, a.l) AS l
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            )
+            SELECT source, status,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(l) AS BIGINT) AS n_chars
+            FROM j GROUP BY 1, 2
         """,
         "url_canonical_dedup": _URL_CTES + """
             SELECT doc_id, url, host_canon, url_canon,

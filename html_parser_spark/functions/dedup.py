@@ -33,9 +33,22 @@ from pyspark.sql import functions as F
 from .text import WORD_HASH
 
 
+# Live references per cached ANALYZED plan (applicationId, semanticHash):
+# Spark's CacheManager keys cache entries by plan, not by DataFrame object,
+# so two queries that persist structurally identical plans SHARE one entry
+# (the second .persist() is a no-op). A per-object finalizer would then
+# unpersist the shared entry when the FIRST result dies, silently uncaching
+# the still-live second query (observed: gate loops that rebuild
+# extract_links re-ran the parse kernel 3x after the previous iteration's
+# result was GC'd). Refcounting by semantic hash makes release happen only
+# when the LAST registered owner dies.
+_CACHE_REFS: dict = {}
+
+
 def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     """Tie `cached`'s lifetime to `result`: when the returned DataFrame is
-    garbage-collected, drop the cached intermediate from the cache manager.
+    garbage-collected, drop the cached intermediate from the cache manager
+    (refcounted across structurally identical plans — see _CACHE_REFS).
 
     The pair functions persist their shingle table (it feeds 3-4 consumers in
     one plan) but return lazily, so they cannot unpersist after the action
@@ -51,9 +64,23 @@ def _unpersist_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     recomputes) but the persist benefit silently vanishes. Keep `result`
     alive, run actions, then drop it."""
     jdf = cached._jdf
+    try:
+        key = (
+            cached.sparkSession.sparkContext.applicationId,
+            jdf.queryExecution().analyzed().semanticHash(),
+        )
+        _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
+    except Exception:  # py4j hiccup: fall back to unrefcounted release
+        key = None
 
-    def _cleanup(jdf=jdf):
+    def _cleanup(jdf=jdf, key=key):
         try:  # session may already be stopped at interpreter shutdown
+            if key is not None:
+                left = _CACHE_REFS.get(key, 1) - 1
+                if left > 0:  # a sibling with the same cached plan is live
+                    _CACHE_REFS[key] = left
+                    return
+                _CACHE_REFS.pop(key, None)
             jdf.unpersist(False)
         except Exception:
             pass

@@ -113,6 +113,58 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def anchor_stats(links: DataFrame) -> DataFrame:
+    """Anchor-text aggregation per canonical link target — the link-derived
+    document representation search and pretraining pipelines attach to each
+    URL (anchor text is the web's human-written summary of the TARGET page,
+    not the source page).
+
+    Input: the link table from extraction — (doc_id, link_idx, href,
+    href_canon, anchor_text) as produced by `__spark_entry__.q_extract_links`
+    or any extractor + `canonicalize_urls` composition.
+
+    Output per href_canon:
+      in_links  bigint  total anchors pointing at the target
+      n_anchors bigint  distinct anchor strings (vocabulary of descriptions)
+      top_anchor string the MODAL anchor text, ties broken lexicographically
+                        ascending (deterministic — min(struct(-cnt, text)))
+      top_anchor_links bigint  the modal anchor's count
+
+    Plan shape (plan-audited): two Exchanges, BOTH fed by map-side partial
+    aggregates — groupBy(href_canon, anchor_text) combines duplicate
+    (target, anchor) pairs before the first shuffle (the hot-page/hot-anchor
+    skew guard: 10^9 'click here' -> one partial row per map task), and the
+    second groupBy shuffles only the combined pair table. The alternative
+    single-Exchange form (repartition(href_canon) reused by both aggregates)
+    was rejected: it forfeits map-side combine and shuffles every raw anchor
+    row, strictly more bytes at web scale than one extra combined-row
+    exchange."""
+    pairs = links.groupBy("href_canon", "anchor_text").agg(
+        F.count("*").alias("cnt")
+    )
+    m = F.min(
+        F.struct(
+            (-F.col("cnt")).alias("neg_cnt"),
+            F.col("anchor_text").alias("txt"),
+        )
+    ).alias("m")
+    return (
+        pairs.groupBy("href_canon")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("in_links"),
+            F.count("*").cast("bigint").alias("n_anchors"),
+            m,
+        )
+        .select(
+            "href_canon",
+            "in_links",
+            "n_anchors",
+            F.col("m.txt").alias("top_anchor"),
+            (-F.col("m.neg_cnt")).cast("bigint").alias("top_anchor_links"),
+        )
+    )
+
+
 def canonical_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(doc_id, url, host_canon, url_canon, n_same bigint, rep_doc_id):
     group size and canonical representative (min doc_id) per canonical

@@ -31,6 +31,26 @@ def test_jaccard_cache_released_on_gc(spark):
     assert _cache_empty(spark), "cache entry must be dropped when result is GC'd"
 
 
+def test_shared_plan_cache_refcounted(spark):
+    """Spark's CacheManager keys entries by ANALYZED PLAN: two pipelines
+    over the same input persist ONE shared entry (the second .persist() is
+    a no-op). GC of the first result must NOT uncache the still-live
+    second — the _CACHE_REFS refcount releases only with the last owner
+    (the bug showed as extract_links re-running its parse kernel 3x after
+    a sibling query's result died)."""
+    spark.catalog.clearCache()
+    corpus = _corpus(spark)
+    a = DD.jaccard_pairs(corpus, threshold_permille=500)
+    b = DD.jaccard_pairs(corpus, threshold_permille=500)  # same plan
+    b.count()
+    del a
+    gc.collect()
+    assert not _cache_empty(spark), "sibling GC must not uncache the live twin"
+    del b
+    gc.collect()
+    assert _cache_empty(spark), "last owner's GC must release the entry"
+
+
 def test_minhash_lsh_cache_released_in_loop(spark):
     spark.catalog.clearCache()
     corpus = _corpus(spark)

@@ -868,6 +868,51 @@ def main() -> int:
              "and the degree attach broadcasts (edge table never shuffles "
              "for it)",
              lambda p: "partial_sum" in p and "BroadcastHashJoin" in p),
+            ("parse kernel behind the cache barrier (every per-round edge "
+             "reference reads the materialized parse; ONE MapInArrow in "
+             "the whole composed plan, not one per lineage embed)",
+             lambda p: "InMemoryTableScan" in p
+             and len(re.findall(r"\(\d+\) MapInArrow", p)) <= 1),
+        ],
+    )
+
+    audit(
+        "web_anchor_text",
+        qs["web_anchor_text"](spark, sf_dir),
+        [
+            ("two Exchanges, both map-side combined: (target, anchor) pair "
+             "combine before the first shuffle (hot-anchor skew guard), "
+             "then only the combined pair table shuffles per target",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+             and "partial_count" in p),
+            ("modal-anchor min(struct) plans as a partial+final "
+             "SortAggregate pair (still map-side combined)",
+             lambda p: len(re.findall(r"\(\d+\) SortAggregate", p)) == 2),
+            ("parse kernel behind the cache barrier (links keepalive holds "
+             "the persist across the aggregation)",
+             lambda p: "InMemoryTableScan" in p
+             and len(re.findall(r"\(\d+\) MapInArrow", p)) <= 1),
+        ],
+    )
+
+    audit(
+        "web_crawl_delta",
+        qs["web_crawl_delta"](spark, sf_dir),
+        [
+            ("three Exchanges: the two full-outer SMJ sides plus the tiny "
+             "(source, status) rollup — nothing else shuffles",
+             lambda p: len(re.findall(r"\(\d+\) Exchange\b", p)) == 3
+             and "SortMergeJoin" in p and "FullOuter" in p),
+            ("text never crosses the shuffle: both sides reduce to the "
+             "md5/length digest projection scan-side (h_a/h_b/len_a/len_b "
+             "are the join payload)",
+             lambda p: "md5" in p and "h_a" in p and "h_b" in p
+             and "len_a" in p and "len_b" in p),
+            ("scan pruned to (doc_id, text, source)",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string,"
+             "source:string>" in p),
+            ("rollup is map-side combined",
+             lambda p: "partial_count" in p or "partial_sum" in p),
         ],
     )
 
