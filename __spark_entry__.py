@@ -927,6 +927,25 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(docs, edges)
 
 
+def q_graph_hits(spark, sf_dir):
+    """Fixed-round integer HITS (functions/graph.hits) over the same
+    deterministic 2-out graph as q_graph_pagerank — hubs vs authorities as
+    the crawl-prioritization twin of PageRank. L-infinity (max) integer
+    normalization instead of L2 keeps every round associative-exact, so
+    the oracle replays the iterations bit-for-bit (_hits_rounds_sql);
+    per-round CTEs are AS MATERIALIZED per the CLAUDE.md re-expansion
+    invariant (each round references the previous one three times)."""
+    from html_parser_spark.functions.graph import hits
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    n = docs.count()  # control-plane scalar (bounded, like checkpoint IO)
+    edges = docs.selectExpr(
+        "node as src",
+        f"explode(array((node * 31 + 7) % {n}, (node * 17 + 3) % {n})) as dst",
+    )
+    return hits(docs, edges)
+
+
 def q_text_bpe_vocab(spark, sf_dir):
     """BPE vocabulary training (functions/bpe.py): 16 deterministic merge
     rounds over the corpus word-count table — Sennrich-2016 exactly, ties
@@ -1029,6 +1048,46 @@ def _pagerank_rounds_sql(n_iter: int = 3) -> str:
         FROM {prev} p
         LEFT JOIN (SELECT dst, CAST(COUNT(*) AS INTEGER) AS in_deg
                    FROM e GROUP BY 1) i ON i.dst = p.node
+    """
+    return sql
+
+
+def _hits_rounds_sql(n_iter: int = 2) -> str:
+    """Fixed-round integer HITS replay, generic over upstream CTEs
+    `v(node)` and `e(src, dst)` — mirror of functions/graph.hits. Each
+    round's auth/hub CTEs are referenced multiple times downstream, so
+    every per-round CTE is AS MATERIALIZED (the CLAUDE.md BPE-replay
+    invariant: un-materialized chains re-expand exponentially)."""
+    sql = """,
+        h0 AS MATERIALIZED (
+          SELECT node, CAST(1000000 AS BIGINT) AS h FROM v)"""
+    for it in range(1, n_iter + 1):
+        sql += f""",
+        ar{it} AS MATERIALIZED (
+          SELECT e.dst, CAST(SUM(p.h) AS BIGINT) AS ar
+          FROM e JOIN h{it - 1} p ON p.node = e.src GROUP BY 1
+        ),
+        a{it} AS MATERIALIZED (
+          SELECT v.node,
+                 CAST(COALESCE(c.ar, 0) * 1000000 //
+                      (SELECT greatest(max(ar), 1) FROM ar{it})
+                      AS BIGINT) AS a
+          FROM v LEFT JOIN ar{it} c ON c.dst = v.node
+        ),
+        hr{it} AS MATERIALIZED (
+          SELECT e.src, CAST(SUM(p.a) AS BIGINT) AS hr
+          FROM e JOIN a{it} p ON p.node = e.dst GROUP BY 1
+        ),
+        h{it} AS MATERIALIZED (
+          SELECT v.node,
+                 CAST(COALESCE(c.hr, 0) * 1000000 //
+                      (SELECT greatest(max(hr), 1) FROM hr{it})
+                      AS BIGINT) AS h
+          FROM v LEFT JOIN hr{it} c ON c.src = v.node
+        )"""
+    sql += f"""
+        SELECT a.node, a.a AS auth_micro, h.h AS hub_micro
+        FROM a{n_iter} a JOIN h{n_iter} h USING (node)
     """
     return sql
 
@@ -2195,12 +2254,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry PREFIX of this dict. The prefix holds, in order:
         # (a) the three plans RESHAPED in round 4 (kmeans row-local argmin,
         # bloom broadcast word-map probe, LSH auto verify-path) whose r03
-        # rows predate the reshape; (b) the fifteen queries NEW in round 5
-        # (no driver row at all yet); (c) 32 of the 41 entries whose newest
-        # driver row is r03. The remaining 9 standing entries
+        # rows predate the reshape; (b) the sixteen queries NEW in round 5
+        # (no driver row at all yet); (c) 31 of the 41 entries whose newest
+        # driver row is r03. The remaining 10 standing entries
         # (text_repetition, text_topk_terms, source_jsonl_roundtrip,
         # text_fingerprint, text_phrase_search, text_langid, text_quality,
-        # multimodal_meta, multimodal_image_decode — zero/one-Exchange
+        # diff_attrs, multimodal_meta, multimodal_image_decode
+        # — zero/one-Exchange
         # plans, unchanged since their r03 rows; the text module is freshly
         # covered by the r04 text_langid_multiscript row) sit just below
         # the boundary: first-ever rows for new operators outrank a
@@ -2225,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_frontier": q_web_sitemap_frontier,
         "web_anchor_text": q_web_anchor_text,
         "web_crawl_delta": q_web_crawl_delta,
+        "graph_hits": q_graph_hits,
         # --- standing r03 rows, re-verify this round ---
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -3661,6 +3722,17 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_oracle_sql(),
         "graph_pagerank": _pagerank_oracle_sql(),
         "graph_domain_pagerank": _domain_pagerank_oracle_sql(),
+        # same synthetic 2-out edges as graph_pagerank, HITS rounds
+        "graph_hits": """
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        v AS (SELECT doc_id AS node FROM documents),
+        e AS (
+          SELECT node AS src,
+                 unnest([(node * 31 + 7) % (SELECT n FROM cnt),
+                         (node * 17 + 3) % (SELECT n FROM cnt)]) AS dst
+          FROM v
+        )"""
+        + _hits_rounds_sql(),
         "sketch_bloom_decontaminate": """
             WITH wd AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -67,3 +67,78 @@ def pagerank(
     return pr.join(in_deg, pr["node"] == in_deg["dst"], "left").select(
         "node", "pr_micro", F.expr("coalesce(in_deg, 0)").alias("in_deg")
     )
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Fixed-round HITS (Kleinberg hubs & authorities) — the second classic
+    link-analysis score a web pipeline wants next to PageRank (PageRank
+    ranks endorsement mass; HITS separates directories/link-hubs from
+    endorsed content, a useful crawl-prioritization and quality signal).
+
+    nodes: (node bigint); edges: (src, dst). Returns (node, auth_micro
+    bigint, hub_micro bigint) after `n_iter` exact integer rounds.
+
+    Exactness: the textbook L2 normalization needs sqrt (not cross-engine
+    exact), so each half-round normalizes by the L-infinity norm instead —
+    x * SCALE div max(x) in integer micro-units with floored division,
+    making every round associative-exact like pagerank()/kmeans. Overflow
+    bound: raw sums are <= SCALE * max_weighted_degree and the normalize
+    multiplies by SCALE again, so the method is exact while
+    max_in_degree <= ~9.2e12 (int64 / SCALE^2) — comfortably past any real
+    host graph; beyond that, drop SCALE to 1e3.
+
+    Scale posture: two map-side-combinable shuffles per round (the
+    contribution groupBys on dst then src); the L-inf scalar attaches as a
+    broadcast one-row cross join, never a single-partition window. A
+    production-depth loop would persist + localCheckpoint each round like
+    connected_components; at the fixed depths used here lineage stays
+    shallow enough to skip it.
+    """
+    hub = nodes.select(
+        "node", F.lit(PR_SCALE).cast("bigint").alias("hub_micro")
+    )
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hub, edges["src"] == hub["node"])
+            .select("dst", "hub_micro")
+            .groupBy("dst")
+            .agg(F.expr("cast(sum(hub_micro) as bigint)").alias("ar"))
+        )
+        amax = a_raw.agg(
+            F.expr("cast(greatest(max(ar), 1) as bigint)").alias("amax")
+        )
+        auth = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(
+                    f"cast(coalesce(ar, 0) * {PR_SCALE} div amax as bigint)"
+                ).alias("auth_micro"),
+            )
+        )
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .select("src", "auth_micro")
+            .groupBy("src")
+            .agg(F.expr("cast(sum(auth_micro) as bigint)").alias("hr"))
+        )
+        hmax = h_raw.agg(
+            F.expr("cast(greatest(max(hr), 1) as bigint)").alias("hmax")
+        )
+        hub = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr(
+                    f"cast(coalesce(hr, 0) * {PR_SCALE} div hmax as bigint)"
+                ).alias("hub_micro"),
+            )
+        )
+    return auth.join(hub, "node").select("node", "auth_micro", "hub_micro")
