@@ -102,7 +102,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from html_parser_spark.sources.interleave import interleaved_from_documents
 from html_parser_spark.session import apply_scale_confs
-spark = apply_scale_confs(SparkSession.builder.master("local[8]").config("spark.ui.enabled","false")).getOrCreate()
+spark = apply_scale_confs(SparkSession.builder.master("local[8]").config("spark.ui.enabled","false").config("spark.driver.memory","16g")).getOrCreate()
+# driver.memory matches the measured runs: the default 1g heap OOMs the
+# input shuffle once --minhash-docs goes past ~1M (2.4M probe = ~5 GB)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet({args.sf_dir!r} + "/documents.parquet")
 reps = spark.range({args.amplify}).select(F.col("id").alias("rep"))
