@@ -877,6 +877,19 @@ def main() -> int:
     )
 
     audit(
+        "graph_hits",
+        qs["graph_hits"](spark, sf_dir),
+        [
+            ("per-round contribution sums are map-side partial aggregation",
+             lambda p: "partial_sum" in p),
+            ("L-inf norm scalars attach as broadcast one-row cross joins, "
+             "never a single-partition window",
+             lambda p: "BroadcastNestedLoopJoin" in p
+             and "SinglePartition" not in p.split("AdaptiveSparkPlan")[0]),
+        ],
+    )
+
+    audit(
         "web_anchor_text",
         qs["web_anchor_text"](spark, sf_dir),
         [
